@@ -1,0 +1,18 @@
+from qendpoint_spark.encoding.encoder import encode_triples, decode_triples
+from qendpoint_spark.encoding.indexes import (
+    spo_table,
+    ops_table,
+    predicate_index,
+    object_index,
+    with_adjacency_bits,
+)
+
+__all__ = [
+    "encode_triples",
+    "decode_triples",
+    "spo_table",
+    "ops_table",
+    "predicate_index",
+    "object_index",
+    "with_adjacency_bits",
+]

@@ -1,0 +1,76 @@
+"""String triples -> ID triples (and back) through the dictionary.
+
+Reference: the gen-disk path materializes three position-indexed long
+arrays map_subjects/predicates/objects and replays every triple
+position through them (CompressTripleMapper.java:36-169,
+MapCompressTripleMerger.createChunk:146-173). In Spark the maps ARE
+DataFrames and the replay is three equi-joins on `term` — Catalyst
+picks broadcast hash join when a map fits under the broadcast
+threshold (predicates virtually always; subjects/objects at small SF)
+and falls back to sort-merge join with AQE skew splitting at scale.
+
+Skew note (north_rule): hot terms (rdf:type-like predicates, head
+entities) skew the PROBE side only — the dictionary side is distinct
+on term, so AQE's skew-join splitting (on) plus the explicit broadcast
+of the predicate map removes the classic straggler. No manual salting
+needed for an equi-join whose build side is unique-keyed; salting is
+reserved for the CC loop (linking.canonicalize).
+
+Late materialization: after this stage everything downstream stays on
+`long` IDs (SimpleIRIHDT-style lazy values, SURVEY.md §4.1) — decode
+joins back to strings only at export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qendpoint_spark.dictionary.builder import (
+    object_map,
+    predicate_map,
+    subject_map,
+)
+
+
+def encode_triples(triples_str: DataFrame, dict_terms: DataFrame) -> DataFrame:
+    """(s,p,o strings) x dict -> unique (s,p,o longs).
+
+    Equivalent of CompressTripleMapper.extract* + SPO dedup
+    (NoDuplicateTripleIDIterator.java:14).
+    """
+    smap = subject_map(dict_terms)
+    pmap = predicate_map(dict_terms)
+    omap = object_map(dict_terms)
+    return (
+        triples_str.join(smap, triples_str["s"] == smap["term"], "inner")
+        .drop("term")
+        .join(F.broadcast(pmap), triples_str["p"] == pmap["term"], "inner")
+        .drop("term")
+        .join(omap, triples_str["o"] == omap["term"], "inner")
+        .drop("term")
+        .select(
+            F.col("sid").alias("s"),
+            F.col("pid").alias("p"),
+            F.col("oid").alias("o"),
+        )
+        .dropDuplicates(["s", "p", "o"])
+    )
+
+
+def decode_triples(triples_id: DataFrame, dict_terms: DataFrame) -> DataFrame:
+    """(s,p,o longs) -> (s,p,o strings); inverse of encode (id->term is
+    unique per space, so this is exact)."""
+    smap = subject_map(dict_terms).withColumnRenamed("term", "s_term")
+    pmap = predicate_map(dict_terms).withColumnRenamed("term", "p_term")
+    omap = object_map(dict_terms).withColumnRenamed("term", "o_term")
+    return (
+        triples_id.join(smap, triples_id["s"] == smap["sid"], "inner")
+        .join(F.broadcast(pmap), triples_id["p"] == pmap["pid"], "inner")
+        .join(omap, triples_id["o"] == omap["oid"], "inner")
+        .select(
+            F.col("s_term").alias("s"),
+            F.col("p_term").alias("p"),
+            F.col("o_term").alias("o"),
+        )
+    )
