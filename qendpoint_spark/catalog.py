@@ -1,0 +1,130 @@
+"""Stage checkpoint catalog: Iceberg-shaped table + lineage bookkeeping.
+
+The reference persists its merge/restart progress as marker files and
+keeps each CatTree chunk as an HDT file on disk
+(MergeRunnable.markRestartStepCompleted, MergeRunnable.java:517-519,
+495-507; CatTreeImpl.doGenerationSync chunk HDTs,
+CatTreeImpl.java:254-390). Our equivalent: every stage writes its
+output table + a lineage row (stage, input fingerprint, row count,
+wall ms, per-partition rows); a rerun with the same fingerprint reads
+the committed table instead of recomputing — idempotent resume.
+
+Iceberg itself needs jars not present in the v1 sandbox image, so the
+warehouse is a directory of parquet tables with an atomic `_SUCCESS`-
+style commit marker (write to tmp path, rename); the write API mirrors
+`df.writeTo(table)` so swapping in a real Iceberg catalog is a
+constructor argument, not a rewrite. All data paths stay identical at
+cluster scale — parquet files written by executors, only the tiny
+lineage JSON is driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    wall_ms: int
+    resumed: bool
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- lineage ----------------------------------------------------------
+    def _lineage_path(self, stage: str) -> str:
+        return os.path.join(self.warehouse, f"_lineage_{stage}.json")
+
+    def lineage(self, stage: str) -> dict | None:
+        p = self._lineage_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def all_lineage(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.warehouse)):
+            if f.startswith("_lineage_"):
+                with open(os.path.join(self.warehouse, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    # -- tables -----------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    def write_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        input_fingerprint: str,
+        sort_cols: list[str] | None = None,
+        force: bool = False,
+    ) -> StageResult:
+        """Commit `df` as the output of `stage`, or skip if an identical
+        run already committed (same stage + fingerprint)."""
+        existing = self.lineage(stage)
+        path = self.table_path(stage)
+        if (
+            not force
+            and existing is not None
+            and existing.get("input_fingerprint") == input_fingerprint
+            and os.path.exists(path)
+        ):
+            return StageResult(
+                stage, path, existing["row_count"], existing["wall_ms"], True
+            )
+        t0 = time.time()
+        tmp = path + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        writer = df.write.mode("overwrite")
+        writer.parquet(tmp)
+        # per-partition lineage rows (FIXTURES.md §8): rows per output file
+        out = self.spark.read.parquet(tmp)
+        per_part = [
+            {"partition_id": i, "row_count": r["count"]}
+            for i, r in enumerate(
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy("pid")
+                .collect()
+            )
+        ]
+        rows = sum(p["row_count"] for p in per_part)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        wall_ms = int((time.time() - t0) * 1000)
+        record = {
+            "stage": stage,
+            "input_fingerprint": input_fingerprint,
+            "row_count": rows,
+            "wall_ms": wall_ms,
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partitions": per_part,
+            "sort_cols": sort_cols or [],
+        }
+        tmp_l = self._lineage_path(stage) + ".tmp"
+        with open(tmp_l, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp_l, self._lineage_path(stage))
+        return StageResult(stage, path, rows, wall_ms, False)

@@ -48,38 +48,85 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
       section   string   SH | S | O | P
       sec_rank  long     1-based rank within the section
       id        long     global id per §1.3 offset rule
+
+    Shuffle budget — exactly two full shuffles of the term universe:
+
+    1. role aggregation: explode each triple into (term, role) facts and
+       groupBy(term) with max() flags. Partial (map-side) aggregation
+       collapses the rdf:type-style hot terms before the shuffle, so
+       term skew never concentrates on one reducer. This one pass
+       replaces the reference's separate subject/object sorted streams +
+       co-scan (CompressFourSectionDictionary.java:86-158): the SH/S/O
+       split is a CASE over the two flags. Predicates are an
+       independent ID namespace (the same string may be both a
+       predicate and a subject), so they ride along as separate rows
+       keyed (is_pred=1, term).
+    2. one global range-partitioned rank (zip_with_rank) over the
+       composite key (sec_key, term) — sections are contiguous in that
+       order, so per-section ranks fall out by subtracting the section's
+       cumulative offset (4 numbers collected to the driver).
     """
-    subjects = triples_str.select(F.col("s").alias("term")).distinct()
-    objects = triples_str.select(F.col("o").alias("term")).distinct()
-    predicates = triples_str.select(F.col("p").alias("term")).distinct()
+    # (term, flag) role facts; flags: 1=subject, 2=object, 4=predicate
+    facts = (
+        triples_str.select(F.col("s").alias("term"), F.lit(1).alias("f"))
+        .unionByName(triples_str.select(F.col("o").alias("term"), F.lit(2).alias("f")))
+        .unionByName(triples_str.select(F.col("p").alias("term"), F.lit(4).alias("f")))
+    )
+    # predicates are their own namespace: aggregate them apart from s/o
+    roles = (
+        facts.withColumn("is_pred", (F.col("f") == 4).cast("int"))
+        .groupBy("term", "is_pred")
+        .agg(F.max(F.when(F.col("f") == 1, 1).otherwise(0)).alias("is_s"),
+             F.max(F.when(F.col("f") == 2, 1).otherwise(0)).alias("is_o"))
+    )
+    # sec_key orders sections SH < S < O < P so one global rank serves all
+    sectioned = roles.select(
+        "term",
+        F.when(F.col("is_pred") == 1, F.lit(3))
+        .when((F.col("is_s") == 1) & (F.col("is_o") == 1), F.lit(0))
+        .when(F.col("is_s") == 1, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("sec_key"),
+    )
+    ranked = zip_with_rank(
+        sectioned, ["sec_key", "term"], "grank", num_partitions=num_partitions
+    )
+    counts = {r.sec_key: r.n for r in ranked.groupBy("sec_key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_sh = counts.get(0, 0)
+    n_s = counts.get(1, 0)
+    n_o = counts.get(2, 0)
+    sec_offset = {0: 0, 1: n_sh, 2: n_sh + n_s, 3: n_sh + n_s + n_o}
+    # global id: SH -> sec_rank, S/O -> n_sh + sec_rank, P -> sec_rank
+    id_base = {0: 0, 1: n_sh, 2: n_sh, 3: 0}
+    sec_name = {0: SECTION_SHARED, 1: SECTION_SUBJECT, 2: SECTION_OBJECT, 3: SECTION_PREDICATE}
 
-    # SH split: the reference co-scans the two sorted streams
-    # (CompressFourSectionDictionary.java:86-158); a sort-merge
-    # inner/anti join is the distributed equivalent.
-    shared = subjects.join(objects, "term", "inner")
-    subj_only = subjects.join(objects, "term", "left_anti")
-    obj_only = objects.join(subjects, "term", "left_anti")
-
-    sh = zip_with_rank(shared, ["term"], "sec_rank", num_partitions=num_partitions)
-    s = zip_with_rank(subj_only, ["term"], "sec_rank", num_partitions=num_partitions)
-    o = zip_with_rank(obj_only, ["term"], "sec_rank", num_partitions=num_partitions)
-    p = zip_with_rank(predicates, ["term"], "sec_rank", num_partitions=num_partitions)
-
-    n_shared = shared.count()
-
-    def tag(df: DataFrame, section: str, offset: int) -> DataFrame:
-        return df.select(
-            "term",
-            F.lit(section).alias("section"),
-            F.col("sec_rank"),
-            (F.col("sec_rank") + F.lit(offset)).cast("long").alias("id"),
-        )
-
-    return (
-        tag(sh, SECTION_SHARED, 0)
-        .unionByName(tag(s, SECTION_SUBJECT, n_shared))
-        .unionByName(tag(o, SECTION_OBJECT, n_shared))
-        .unionByName(tag(p, SECTION_PREDICATE, 0))
+    sec_col = F.col("sec_key")
+    rank_col = F.col("grank")
+    section = (
+        F.when(sec_col == 0, F.lit(sec_name[0]))
+        .when(sec_col == 1, F.lit(sec_name[1]))
+        .when(sec_col == 2, F.lit(sec_name[2]))
+        .otherwise(F.lit(sec_name[3]))
+    )
+    sec_rank = (
+        rank_col
+        - F.when(sec_col == 0, F.lit(sec_offset[0]))
+        .when(sec_col == 1, F.lit(sec_offset[1]))
+        .when(sec_col == 2, F.lit(sec_offset[2]))
+        .otherwise(F.lit(sec_offset[3]))
+    ).cast("long")
+    gid = (
+        sec_rank
+        + F.when(sec_col == 0, F.lit(id_base[0]))
+        .when(sec_col == 1, F.lit(id_base[1]))
+        .when(sec_col == 2, F.lit(id_base[2]))
+        .otherwise(F.lit(id_base[3]))
+    ).cast("long")
+    return ranked.select(
+        "term",
+        section.alias("section"),
+        sec_rank.alias("sec_rank"),
+        gid.alias("id"),
     )
 
 

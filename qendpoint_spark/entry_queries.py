@@ -1,0 +1,223 @@
+"""Query registry backing __spark_entry__.py.
+
+Each query callable takes (spark, sf_dir) and returns a DataFrame; each
+has a matching ANSI-SQL oracle (DuckDB) in ORACLES below that recomputes
+the same result from the raw parquet views — the KG pipeline's
+extraction grammar (extraction/triples.py) is deliberately
+SQL-expressible so the *entire* pipeline (extract → dictionary → encode
+→ indexes) is oracle-checkable end-to-end, not just row counts.
+
+The shared SQL prelude (_KG_PRELUDE) mirrors, stage by stage:
+  toks     = mention detection (extraction.triples.mentions_udf)
+  triples  = extraction rules  (extract_triples_from_documents)
+  dict     = four-section dictionary (dictionary.builder)
+  enc      = ID substitution + dedup  (encoding.encoder)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qendpoint_spark.dictionary import build_dictionary
+from qendpoint_spark.encoding import (
+    decode_triples,
+    encode_triples,
+    object_index,
+    ops_table,
+    predicate_index,
+    spo_table,
+    with_adjacency_bits,
+)
+from qendpoint_spark.extraction import extract_triples_from_documents
+
+# ---------------------------------------------------------------- caching
+
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, "triples")
+    if key not in _CACHE:
+        _CACHE[key] = extract_triples_from_documents(_docs(spark, sf_dir)).cache()
+    return _CACHE[key]
+
+
+def _dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, "dict")
+    if key not in _CACHE:
+        _CACHE[key] = build_dictionary(_triples(spark, sf_dir)).cache()
+    return _CACHE[key]
+
+
+def _enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, "enc")
+    if key not in _CACHE:
+        _CACHE[key] = encode_triples(
+            _triples(spark, sf_dir), _dict(spark, sf_dir)
+        ).cache()
+    return _CACHE[key]
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triples(spark, sf_dir)
+
+
+def q_kg_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dict(spark, sf_dir)
+
+
+def q_kg_spo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spo_table(_enc(spark, sf_dir))
+
+
+def q_kg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_table(_enc(spark, sf_dir))
+
+
+def q_kg_adjacency_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_adjacency_bits(_enc(spark, sf_dir))
+
+
+def q_kg_predicate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return predicate_index(_enc(spark, sf_dir))
+
+
+def q_kg_object_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return object_index(_enc(spark, sf_dir))
+
+
+def q_kg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_triples(_enc(spark, sf_dir), _dict(spark, sf_dir)).distinct()
+
+
+def q_kg_shared_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _dict(spark, sf_dir)
+        .filter(F.col("section") == "SH")
+        .select("term", "id")
+    )
+
+
+QUERIES = {
+    "kg_extract_triples": q_kg_extract,
+    "kg_dictionary": q_kg_dictionary,
+    "kg_encode_spo": q_kg_spo,
+    "kg_ops_index": q_kg_ops,
+    "kg_adjacency_bits": q_kg_adjacency_bits,
+    "kg_predicate_index": q_kg_predicate_index,
+    "kg_object_index": q_kg_object_index,
+    "kg_decode_roundtrip": q_kg_decode_roundtrip,
+    "kg_shared_section": q_kg_shared_section,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_KG_PRELUDE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) >= 4
+),
+triples AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT 'http://example.org/doc/' || doc_id AS s,
+           'http://example.org/prop/lang' AS p,
+           '"' || lang || '"@' || lang AS o
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/source',
+           '"' || source || '"'
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/nchars',
+           '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/mentions',
+           'http://example.org/ent/' || tok
+    FROM toks
+    UNION ALL
+    SELECT DISTINCT 'http://example.org/ent/' || tok,
+           'http://example.org/prop/label',
+           '"' || tok || '"'
+    FROM toks
+  )
+),
+subs AS (SELECT DISTINCT s AS term FROM triples),
+objs AS (SELECT DISTINCT o AS term FROM triples),
+preds AS (SELECT DISTINCT p AS term FROM triples),
+sh AS (SELECT term FROM subs INTERSECT SELECT term FROM objs),
+sonly AS (SELECT term FROM subs EXCEPT SELECT term FROM objs),
+oonly AS (SELECT term FROM objs EXCEPT SELECT term FROM subs),
+nsh AS (SELECT count(*) AS n FROM sh),
+dict AS (
+  SELECT term, 'SH' AS section,
+         row_number() OVER (ORDER BY term) AS sec_rank,
+         row_number() OVER (ORDER BY term) AS id
+  FROM sh
+  UNION ALL
+  SELECT term, 'S',
+         row_number() OVER (ORDER BY term),
+         (SELECT n FROM nsh) + row_number() OVER (ORDER BY term)
+  FROM sonly
+  UNION ALL
+  SELECT term, 'O',
+         row_number() OVER (ORDER BY term),
+         (SELECT n FROM nsh) + row_number() OVER (ORDER BY term)
+  FROM oonly
+  UNION ALL
+  SELECT term, 'P',
+         row_number() OVER (ORDER BY term),
+         row_number() OVER (ORDER BY term)
+  FROM preds
+),
+smap AS (SELECT term, id AS sid FROM dict WHERE section IN ('SH','S')),
+pmap AS (SELECT term, id AS pid FROM dict WHERE section = 'P'),
+omap AS (SELECT term, id AS oid FROM dict WHERE section IN ('SH','O')),
+enc AS (
+  SELECT DISTINCT sm.sid AS s, pm.pid AS p, om.oid AS o
+  FROM triples t
+  JOIN smap sm ON t.s = sm.term
+  JOIN pmap pm ON t.p = pm.term
+  JOIN omap om ON t.o = om.term
+)
+"""
+
+ORACLES = {
+    "kg_extract_triples": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_dictionary": _KG_PRELUDE + "SELECT term, section, sec_rank, id FROM dict",
+    "kg_encode_spo": _KG_PRELUDE + "SELECT s, p, o FROM enc",
+    "kg_ops_index": _KG_PRELUDE + "SELECT o, p, s FROM enc",
+    "kg_adjacency_bits": _KG_PRELUDE
+    + """
+    SELECT s, p, o,
+           CASE WHEN row_number() OVER (PARTITION BY s ORDER BY p, o) = 1
+                THEN 1 ELSE 0 END AS bit_y,
+           CASE WHEN row_number() OVER (PARTITION BY s, p ORDER BY o) = 1
+                THEN 1 ELSE 0 END AS bit_z
+    FROM enc""",
+    "kg_predicate_index": _KG_PRELUDE
+    + """
+    SELECT p, count(*) AS n_triples, count(DISTINCT s) AS n_subjects,
+           count(DISTINCT o) AS n_objects, min(s) AS min_s, max(s) AS max_s
+    FROM enc GROUP BY p""",
+    "kg_object_index": _KG_PRELUDE
+    + """
+    SELECT o, count(*) AS n_triples, count(DISTINCT p) AS n_predicates
+    FROM enc GROUP BY o""",
+    "kg_decode_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_shared_section": _KG_PRELUDE
+    + "SELECT term, id FROM dict WHERE section = 'SH'",
+}

@@ -1,0 +1,158 @@
+"""End-to-end KG-construction pipeline with checkpointed, resumable stages.
+
+Stage graph (SURVEY.md §7.1; each stage = one committed table + lineage):
+
+  extract     pages/documents -> triples_str(s,p,o)
+  dictionary  triples_str -> dict_terms(term, section, sec_rank, id)
+  encode      triples_str x dict -> triples_spo (SPO-sorted, unique)
+  ops         triples_spo -> triples_ops (OPS-sorted)
+  stats       predicate/object index tables
+
+Resume: each stage records its input fingerprint; rerunning with an
+unchanged input skips straight to reading the committed table —
+mirroring the reference's persisted restart step
+(MergeRunnable.java:495-519) and CatTree chunk checkpoints.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qendpoint_spark.catalog import Catalog, StageResult
+from qendpoint_spark.dictionary import build_dictionary
+from qendpoint_spark.encoding import (
+    encode_triples,
+    object_index,
+    ops_table,
+    predicate_index,
+    spo_table,
+)
+from qendpoint_spark.extraction import (
+    extract_triples_from_documents,
+    extract_triples_from_pages,
+)
+
+
+@dataclass
+class PipelineReport:
+    stages: list[StageResult] = field(default_factory=list)
+    n_triples: int = 0
+    wall_s: float = 0.0
+
+    def stage(self, name: str) -> StageResult:
+        return next(s for s in self.stages if s.name == name)
+
+
+def _fingerprint(*parts: str) -> str:
+    return hashlib.sha256("||".join(parts).encode()).hexdigest()[:16]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    catalog: Catalog,
+    source_df: DataFrame | None = None,
+    source_kind: str = "documents",
+    source_fingerprint: str = "",
+    num_partitions: int | None = None,
+    with_stats: bool = True,
+    force: bool = False,
+) -> PipelineReport:
+    """Run extract -> dictionary -> encode -> ops (-> stats).
+
+    source_df: the pages or documents DataFrame. source_fingerprint
+    should identify the input snapshot (path + row count, config...);
+    stages resume when it is unchanged.
+    """
+    t_start = time.time()
+    report = PipelineReport()
+    fp0 = _fingerprint(source_kind, source_fingerprint)
+
+    # S1 extract ----------------------------------------------------------
+    if catalog.lineage("triples_str") is None or force or (
+        catalog.lineage("triples_str").get("input_fingerprint") != fp0
+    ):
+        extractor = (
+            extract_triples_from_documents
+            if source_kind == "documents"
+            else extract_triples_from_pages
+        )
+        triples_str = extractor(source_df)
+    else:
+        triples_str = None  # resume path reads committed table
+    if triples_str is not None:
+        res = catalog.write_stage("triples_str", triples_str, fp0, force=force)
+    else:
+        lin = catalog.lineage("triples_str")
+        res = StageResult("triples_str", catalog.table_path("triples_str"),
+                          lin["row_count"], lin["wall_ms"], True)
+    report.stages.append(res)
+    triples_str = catalog.read("triples_str")
+
+    # S2 dictionary ---------------------------------------------------------
+    fp1 = _fingerprint(fp0, "dict", str(res.rows))
+    lin = catalog.lineage("dict_terms")
+    if lin is not None and lin.get("input_fingerprint") == fp1 and not force:
+        res = StageResult("dict_terms", catalog.table_path("dict_terms"),
+                          lin["row_count"], lin["wall_ms"], True)
+    else:
+        dict_terms = build_dictionary(triples_str, num_partitions=num_partitions)
+        res = catalog.write_stage("dict_terms", dict_terms, fp1, force=force)
+    report.stages.append(res)
+    dict_terms = catalog.read("dict_terms")
+
+    # S3 encode + SPO materialize -----------------------------------------
+    fp2 = _fingerprint(fp1, "encode", str(res.rows))
+    lin = catalog.lineage("triples_spo")
+    if lin is not None and lin.get("input_fingerprint") == fp2 and not force:
+        res = StageResult("triples_spo", catalog.table_path("triples_spo"),
+                          lin["row_count"], lin["wall_ms"], True)
+    else:
+        enc = encode_triples(triples_str, dict_terms)
+        res = catalog.write_stage(
+            "triples_spo",
+            spo_table(enc, num_partitions=num_partitions),
+            fp2,
+            sort_cols=["s", "p", "o"],
+            force=force,
+        )
+    report.stages.append(res)
+    report.n_triples = res.rows
+    triples_spo = catalog.read("triples_spo")
+
+    # S4 OPS materialize ----------------------------------------------------
+    fp3 = _fingerprint(fp2, "ops", str(res.rows))
+    lin = catalog.lineage("triples_ops")
+    if lin is not None and lin.get("input_fingerprint") == fp3 and not force:
+        res = StageResult("triples_ops", catalog.table_path("triples_ops"),
+                          lin["row_count"], lin["wall_ms"], True)
+    else:
+        res = catalog.write_stage(
+            "triples_ops",
+            ops_table(triples_spo, num_partitions=num_partitions),
+            fp3,
+            sort_cols=["o", "p", "s"],
+            force=force,
+        )
+    report.stages.append(res)
+
+    # S5 stats --------------------------------------------------------------
+    if with_stats:
+        fp4 = _fingerprint(fp3, "stats")
+        for name, fn in (
+            ("predicate_index", predicate_index),
+            ("object_index", object_index),
+        ):
+            lin = catalog.lineage(name)
+            if lin is not None and lin.get("input_fingerprint") == fp4 and not force:
+                res = StageResult(name, catalog.table_path(name),
+                                  lin["row_count"], lin["wall_ms"], True)
+            else:
+                res = catalog.write_stage(name, fn(triples_spo), fp4, force=force)
+            report.stages.append(res)
+
+    report.wall_s = time.time() - t_start
+    return report
