@@ -5,7 +5,7 @@ stats) on the documents table at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) under local[$SPARK_GRAFT_CPUS], fresh (no
 resume), writing real parquet materializations to a temp warehouse.
 
-$SPARK_GRAFT_EXPAND (default 8) replicates the corpus with fresh
+$SPARK_GRAFT_EXPAND (default 40) replicates the corpus with fresh
 doc_ids so the bench exercises realistic data volume: the entity/term
 space stays fixed while the document space grows — the same skew
 profile a larger crawl has.
@@ -37,10 +37,15 @@ from qendpoint_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "8"))
+    expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "40"))
     sf = sf_dir.rstrip("/").split("/")[-1].replace("sf", "")
 
-    spark = get_spark("qendpoint-bench", cores=cpus)
+    # optional fast substrate for scaling runs (e.g. /dev/shm): removes
+    # the shared-disk bottleneck so the 8-vs-32-core comparison measures
+    # compute scaling, not /dev/vda saturation
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "")
+    extra = {"spark.local.dir": scratch} if scratch else {}
+    spark = get_spark("qendpoint-bench", cores=cpus, extra_conf=extra)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if expand > 1:
         max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -53,7 +58,7 @@ def main() -> None:
     docs = docs.repartition(cpus * 2).persist()
     n_docs = docs.count()  # materialize input outside the timed region
 
-    warehouse = tempfile.mkdtemp(prefix="qs_bench_")
+    warehouse = tempfile.mkdtemp(prefix="qs_bench_", dir=scratch or None)
     try:
         t0 = time.time()
         catalog = Catalog(spark, warehouse)

@@ -26,8 +26,8 @@ import shutil
 import time
 from dataclasses import dataclass
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 @dataclass
@@ -98,17 +98,15 @@ class Catalog:
             shutil.rmtree(tmp)
         writer = df.write.mode("overwrite")
         writer.parquet(tmp)
-        # per-partition lineage rows (FIXTURES.md §8): rows per output file
-        out = self.spark.read.parquet(tmp)
-        per_part = [
-            {"partition_id": i, "row_count": r["count"]}
-            for i, r in enumerate(
-                out.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count(F.lit(1)).alias("count"))
-                .orderBy("pid")
-                .collect()
-            )
-        ]
+        # per-partition lineage rows (FIXTURES.md §8) from parquet footer
+        # metadata — no extra Spark job over the data (footers only; an
+        # Iceberg catalog would expose the same via its manifest files)
+        per_part = []
+        for i, fname in enumerate(sorted(os.listdir(tmp))):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(tmp, fname))
+            per_part.append({"partition_id": i, "row_count": md.num_rows})
         rows = sum(p["row_count"] for p in per_part)
         if os.path.exists(path):
             shutil.rmtree(path)

@@ -91,11 +91,19 @@ def _mention_triples(keyed: DataFrame, use_udf: bool = False) -> DataFrame:
             )
             .filter(F.length("tok") >= MIN_MENTION_LEN)
         )
+    # Dedup on the narrow (doc_iri, tok) pair — repeated tokens inside a
+    # document collapse map-side (they are already colocated), and the
+    # shuffle moves short token strings instead of full assembled triple
+    # rows. A global distinct() over the final triples would shuffle
+    # ~5x the bytes for the same result (measured 2-3x slower e2e).
+    toks = toks.dropDuplicates(["doc_iri", "tok"]).persist()
     mentions = toks.select(
         F.col("doc_iri").alias("s"),
         F.lit(P_MENTIONS).alias("p"),
         F.concat(F.lit(BASE + "ent/"), F.col("tok")).alias("o"),
     )
+    # distinct over tokens alone is a map-side-combined aggregate whose
+    # shuffle is bounded by the vocabulary size per partition — tiny.
     labels = (
         toks.select("tok")
         .distinct()
@@ -114,6 +122,14 @@ def extract_triples_from_documents(documents: DataFrame) -> DataFrame:
     Distinct triples (HDT keeps a set of statements; duplicate triples
     collapse exactly as MapCompressTripleMerger dedup does,
     MapCompressTripleMerger.java:183-198).
+
+    Precondition: doc_id is unique (the TESTDATA tables guarantee it;
+    the pages path enforces the analogous url uniqueness via the
+    latest-crawl dedup). With unique keys the output is duplicate-free
+    by construction — meta rows are one-per-(doc, predicate), mention
+    pairs are deduped, label rows come from a distinct, and the three
+    branches use disjoint predicates — so no global distinct() shuffle
+    is needed over the assembled triples.
     """
     keyed = documents.select(
         F.concat(F.lit(BASE + "doc/"), F.col("doc_id").cast("string")).alias(
@@ -124,28 +140,34 @@ def extract_triples_from_documents(documents: DataFrame) -> DataFrame:
         "source",
         "n_chars",
     )
+    # all three per-document metadata triples in ONE scan: explode an
+    # inline (p, o) array instead of three unioned re-scans
     meta = keyed.select(
         F.col("doc_iri").alias("s"),
-        F.lit(P_LANG).alias("p"),
-        F.concat(F.lit('"'), F.col("lang"), F.lit('"@'), F.col("lang")).alias("o"),
-    ).unionByName(
-        keyed.select(
-            F.col("doc_iri").alias("s"),
-            F.lit(P_SOURCE).alias("p"),
-            F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("o"),
-        )
-    ).unionByName(
-        keyed.select(
-            F.col("doc_iri").alias("s"),
-            F.lit(P_NCHARS).alias("p"),
-            F.concat(
-                F.lit('"'),
-                F.col("n_chars").cast("string"),
-                F.lit('"^^<' + XSD_INTEGER + ">"),
-            ).alias("o"),
-        )
-    )
-    return meta.unionByName(_mention_triples(keyed.select("doc_iri", "text"))).distinct()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(P_LANG).alias("p"),
+                    F.concat(
+                        F.lit('"'), F.col("lang"), F.lit('"@'), F.col("lang")
+                    ).alias("o"),
+                ),
+                F.struct(
+                    F.lit(P_SOURCE).alias("p"),
+                    F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("o"),
+                ),
+                F.struct(
+                    F.lit(P_NCHARS).alias("p"),
+                    F.concat(
+                        F.lit('"'),
+                        F.col("n_chars").cast("string"),
+                        F.lit('"^^<' + XSD_INTEGER + ">"),
+                    ).alias("o"),
+                ),
+            )
+        ).alias("po"),
+    ).select("s", F.col("po.p").alias("p"), F.col("po.o").alias("o"))
+    return meta.unionByName(_mention_triples(keyed.select("doc_iri", "text")))
 
 
 def extract_triples_from_pages(pages: DataFrame) -> DataFrame:
@@ -154,11 +176,18 @@ def extract_triples_from_pages(pages: DataFrame) -> DataFrame:
     The page url is itself the subject IRI. When the same url was
     recrawled (multiple warc_ts), only the latest crawl contributes —
     the dedup a Common-Crawl pipeline needs anyway, expressed as a
-    max-ts semi-join (no window over a skewed key).
+    single max-struct aggregate (one shuffle keyed on url, map-side
+    combined, deterministic under warc_ts ties via the lexicographic
+    struct order; no window and no self-join over a skewed key).
     """
-    latest = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
-    cur = pages.join(latest, ["url", "warc_ts"], "inner")
-    keyed = cur.select(F.col("url").alias("doc_iri"), "text", "lang")
+    latest = pages.groupBy("url").agg(
+        F.max(F.struct("warc_ts", "text", "lang")).alias("m")
+    )
+    keyed = latest.select(
+        F.col("url").alias("doc_iri"),
+        F.col("m.text").alias("text"),
+        F.col("m.lang").alias("lang"),
+    )
     meta = keyed.select(
         F.col("doc_iri").alias("s"),
         F.lit(P_LANG).alias("p"),
@@ -166,4 +195,4 @@ def extract_triples_from_pages(pages: DataFrame) -> DataFrame:
     )
     return meta.unionByName(
         _mention_triples(keyed.select("doc_iri", "text"), use_udf=True)
-    ).distinct()
+    )
