@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # deeply composed pipelines (decode∘encode∘build with nested
+        # persisted fragments) make plan *pretty-printing* exponential:
+        # the SQL listener renders every execution's plan string even
+        # with the UI off (observed: a driver thread pinned for minutes
+        # in TreeNode.generateTreeString). Cap the rendered length —
+        # execution is unaffected.
+        .config("spark.sql.maxPlanStringLength", "8192")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
