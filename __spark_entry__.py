@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from qendpoint_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
+from qendpoint_spark.ops_queries import OPS_ORACLES, OPS_QUERIES  # noqa: E402
+
+QUERIES = {**QUERIES, **OPS_QUERIES}
+ORACLES = {**ORACLES, **OPS_ORACLES}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,225 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the dedup ladder of a web-scale training-data
+pipeline over `documents` / `embeddings`.
+
+Scale shapes:
+- exact: one groupBy on a 128-bit content hash (map-side combined).
+- n-gram Jaccard: inverted-index self-join on shingles — the classic
+  candidate-pair generation; output bounded by co-shingled pairs, AQE
+  splits hot shingles.
+- MinHash: signatures as NUM_HASHES aggregate columns over one scan
+  (no row blowup); LSH bands hash signature slices so the join key
+  count is |docs| x bands, never all-pairs.
+- SimHash: token-hash bit votes -> 16-bit fingerprint; equal
+  fingerprints = candidates.
+- embedding dedup: label-blocked quantized-cosine pairs (quantized
+  int dot products keep cross-engine determinism; see similarity.py).
+
+All deterministic and ANSI-SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+QUANT = 1000  # embedding fixed-point quantization
+
+
+def _hash8(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, keeper_id, group_size): keeper = min doc_id
+    of the normalized-text group; rows with group_size > 1 are dups."""
+    hashed = documents.select(
+        "doc_id", F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))).alias("text_hash")
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return hashed.join(groups, "text_hash").select(
+        "doc_id", "text_hash", "keeper_id", "group_size"
+    )
+
+
+def shingle_table(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) with k-token shingles; documents with
+    fewer than k tokens contribute their whole text as one shingle."""
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        documents.select("doc_id", F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Candidate pairs by inverted-index join + exact Jaccard filter.
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    sh = shingle_table(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
+    """NUM_HASHES MinHash values as columns mh0..mh{n-1}: one aggregate
+    pass over the shingle table, h_i(s) = hash8(s || '#' || i)."""
+    sh = shingle_table(documents, k)
+    aggs = [
+        F.min(_hash8(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(documents: DataFrame, k: int = 3) -> DataFrame:
+    """LSH banding: band_hash = md5 of ROWS_PER_BAND signature values;
+    candidate pairs collide in >= 1 band. Returns distinct
+    (doc_a, doc_b)."""
+    sig = minhash_signatures(documents, k)
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *[c.cast("string") for c in cols])).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    allb = bands[0]
+    for df in bands[1:]:
+        allb = allb.unionByName(df)
+    a = allb.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b_ = allb.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b_, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_table(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """bits-wide SimHash over token frequencies: bit j is the sign of
+    sum over tokens of count * (2*bit_j(hash8(tok)) - 1)."""
+    tok_counts = (
+        documents.select(
+            "doc_id",
+            F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", _hash8(F.col("tok")))
+    )
+    votes = (
+        tok_counts.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        .withColumn(
+            # F.shiftright takes a literal int, not a column: go via expr
+            "vote",
+            F.expr("cnt * ((shiftright(h, cast(j AS int)) & 1) * 2 - 1)"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(cast(1 AS bigint), cast(j AS int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, min_cos: float = 0.3
+) -> DataFrame:
+    """Near-duplicate vectors: label-blocked pairs with quantized cosine
+    >= min_cos. Quantization (round(x*QUANT) ints) makes dot products
+    exact integers -> deterministic across engines; the final cosine is
+    a single float expression tree (sqrt/div/round), bit-stable.
+
+    Blocking by `label` mirrors production blocking (cluster id /
+    LSH bucket) — the join never goes all-pairs."""
+    q = embeddings.select(
+        F.col("vec_id"),
+        F.col("label"),
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT).cast("long")
+        ).alias("qv"),
+    )
+    a = q.select(F.col("vec_id").alias("vec_a"), "label", F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vec_b"), "label", F.col("qv").alias("qb"))
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn("qdot", dot)
+        .withColumn("qna", norm("qa"))
+        .withColumn("qnb", norm("qb"))
+        .withColumn(
+            "cos_q",
+            F.round(
+                F.col("qdot")
+                / F.sqrt(F.col("qna").cast("double") * F.col("qnb").cast("double")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_q") >= min_cos)
+        .select("vec_a", "vec_b", "label", "qdot", "cos_q")
+    )

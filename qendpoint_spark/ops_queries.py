@@ -1,0 +1,432 @@
+"""Training-data-ops query registry (dedup / similarity / text analysis /
+multimodal / linking / canonicalization), each with an exact DuckDB
+oracle. Companion to entry_queries.py (KG pipeline queries).
+
+Cross-engine determinism contract (see ops/*.py docstrings): md5-based
+integer hashes, fixed-point quantized vectors, integer tie-breaks, and
+round(x, 6) on any float that came from a single expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qendpoint_spark.linking import connected_components, link_mentions
+from qendpoint_spark.ops.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from qendpoint_spark.ops.multimodal import assets_from_documents, extract_features
+from qendpoint_spark.ops.similarity import brute_force_topk, lsh_bucketed_topk
+from qendpoint_spark.ops.textstats import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_counts,
+)
+
+DOC_IRI = "http://example.org/doc/"
+KB_IRI = "http://kb.example.org/"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), k=3)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=3)
+
+
+def q_simhash(spark, sf_dir):
+    return simhash_table(_docs(spark, sf_dir), bits=16)
+
+
+def q_embed_dup(spark, sf_dir):
+    return embedding_dup_pairs(_emb(spark, sf_dir), min_cos=0.3)
+
+
+def q_sim_topk(spark, sf_dir):
+    return brute_force_topk(_emb(spark, sf_dir), query_mod=97, k=5)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    return lsh_bucketed_topk(_emb(spark, sf_dir), query_mod=97, k=5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    return extract_features(assets_from_documents(_docs(spark, sf_dir)))
+
+
+def q_entity_link(spark, sf_dir):
+    """Mentions = qualifying tokens; synthetic deterministic alias dict
+    with ambiguous aliases (hash-gated _alt candidates)."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            F.concat(F.lit(DOC_IRI), F.col("doc_id").cast("string")).alias("doc_iri"),
+            F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("alias"),
+        )
+        .filter(F.length("alias") >= 4)
+        .distinct()
+    )
+    vocab = toks.select("alias").distinct()
+
+    def h8(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    primary = vocab.select(
+        "alias",
+        F.concat(F.lit(KB_IRI), F.col("alias")).alias("entity_iri"),
+        F.round((h8(F.col("alias")) % 1000) / 1000.0, 6).alias("prior"),
+    )
+    alts = vocab.filter(h8(F.col("alias")) % 3 == 0).select(
+        "alias",
+        F.concat(F.lit(KB_IRI), F.col("alias"), F.lit("_alt")).alias("entity_iri"),
+        F.round((h8(F.concat(F.col("alias"), F.lit("x"))) % 1000) / 1000.0, 6).alias(
+            "prior"
+        ),
+    )
+    alias_dict = primary.unionByName(alts)
+    return link_mentions(toks, alias_dict, broadcast_dict=True, top_k=1)
+
+
+def q_canonicalize_cc(spark, sf_dir):
+    """Real large-star/small-star CC over star-shaped sameas edges whose
+    components have a closed form (group head = doc_id - doc_id % 5) —
+    the oracle recomputes the expected map without iteration."""
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        F.concat(
+            F.lit(DOC_IRI), (F.col("doc_id") - F.col("doc_id") % 5).cast("string")
+        ).alias("u"),
+        F.concat(F.lit(DOC_IRI), F.col("doc_id").cast("string")).alias("v"),
+    )
+    return connected_components(edges)
+
+
+OPS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+    "dedup_embedding": q_embed_dup,
+    "sim_topk_bruteforce": q_sim_topk,
+    "sim_topk_lsh": q_sim_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+    "kg_entity_link": q_entity_link,
+    "kg_canonicalize_cc": q_canonicalize_cc,
+}
+
+# --------------------------------------------------------------- oracles
+
+_H8 = "('0x' || substring(md5({x}), 1, 8))::BIGINT"
+
+_MH_COLS = ", ".join(
+    "min(('0x' || substring(md5(shingle || '#%d'), 1, 8))::BIGINT) AS mh%d"
+    % (i, i)
+    for i in range(16)
+)
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+                             t -> length(t) > 0) AS l
+  FROM documents
+)"""
+
+_TK = """
+tk AS (
+  SELECT doc_id, unnest(lst) AS tok, generate_subscripts(lst, 1) AS pos
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS lst
+        FROM documents)
+)"""
+
+_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(lst) >= 3
+           THEN list_transform(generate_series(1, len(lst) - 2),
+                               i -> array_to_string(lst[i:i+2], ' '))
+           ELSE [array_to_string(lst, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS lst
+          FROM documents)
+  ) WHERE length(shingle) > 0
+)"""
+
+_QV = """
+qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS q
+  FROM embeddings
+)"""
+
+OPS_ORACLES = {
+    "dedup_exact": """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS text_hash
+  FROM documents
+),
+g AS (
+  SELECT text_hash, min(doc_id) AS keeper_id, count(*) AS group_size
+  FROM hashed GROUP BY text_hash
+)
+SELECT h.doc_id, h.text_hash, g.keeper_id, g.group_size
+FROM hashed h JOIN g USING (text_hash)""",
+    "text_stats": f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id,
+         len(l) AS n_tokens,
+         len(list_filter(l, t -> t IN ('the','a','of','and'))) AS n_stopwords,
+         len(list_distinct(l)) AS n_distinct,
+         coalesce(list_sum(list_transform(l, t -> length(t))), 0)::BIGINT AS sum_token_len
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       round(sum_token_len / greatest(n_tokens, 1)::DOUBLE, 6) AS avg_token_len,
+       round(n_stopwords / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
+       round(n_distinct / greatest(n_tokens, 1)::DOUBLE, 6) AS distinct_ratio,
+       round(least(n_tokens::DOUBLE / 100.0, 1.0)
+             * (1.0 - n_stopwords / greatest(n_tokens, 1)::DOUBLE)
+             * (n_distinct / greatest(n_tokens, 1)::DOUBLE), 6) AS quality_score
+FROM base""",
+    "token_counts": f"""
+WITH {_TOKS}
+SELECT d.doc_id,
+       len(t.l) AS n_ws_tokens,
+       len(regexp_extract_all(coalesce(d.text, ''), '[a-z0-9]+')) AS n_re_tokens,
+       length(coalesce(d.text, '')) AS n_chars_calc
+FROM documents d JOIN toks t USING (doc_id)""",
+    "lang_id": f"""
+WITH {_TOKS},
+c AS (
+  SELECT doc_id,
+         len(list_filter(l, t -> t IN ('the','of'))) AS cnt_en,
+         len(list_filter(l, t -> t IN ('der','und'))) AS cnt_de,
+         len(list_filter(l, t -> t IN ('el','los'))) AS cnt_es,
+         len(list_filter(l, t -> t IN ('le','les'))) AS cnt_fr
+  FROM toks
+)
+SELECT d.doc_id, d.lang AS declared_lang, c.cnt_en, c.cnt_de, c.cnt_es, c.cnt_fr,
+       CASE WHEN greatest(cnt_en, cnt_de, cnt_es, cnt_fr) = 0 THEN 'und'
+            WHEN cnt_de = greatest(cnt_en, cnt_de, cnt_es, cnt_fr) THEN 'de'
+            WHEN cnt_en = greatest(cnt_en, cnt_de, cnt_es, cnt_fr) THEN 'en'
+            WHEN cnt_es = greatest(cnt_en, cnt_de, cnt_es, cnt_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM documents d JOIN c USING (doc_id)""",
+    "doc_fingerprint": f"""
+WITH {_TK}
+SELECT doc_id,
+       (sum(pos * {_H8.format(x='tok')}) % 2147483647)::BIGINT AS fingerprint
+FROM tk WHERE length(tok) > 0 GROUP BY doc_id""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.5""",
+    "dedup_minhash_signatures": f"""
+WITH {_SHINGLES}
+SELECT doc_id, {_MH_COLS}
+FROM sh GROUP BY doc_id""",
+    "dedup_minhash_lsh": f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    "SELECT doc_id, " + str(b) + " AS band, md5(concat_ws(':', "
+    + ", ".join(f"mh{b*4+r}::VARCHAR" for r in range(4))
+    + ")) AS band_hash FROM sig"
+    for b in range(4)
+)}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id""",
+    "dedup_simhash": f"""
+WITH {_TK},
+tokc AS (
+  SELECT doc_id, tok, count(*) AS cnt, {_H8.format(x='tok')} AS h
+  FROM tk WHERE length(tok) > 0 GROUP BY doc_id, tok
+),
+votes AS (
+  SELECT doc_id, j, sum(cnt * (((h >> j) & 1) * 2 - 1)) AS s
+  FROM tokc, (SELECT unnest(generate_series(0, 15)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id""",
+    "dedup_embedding": f"""
+WITH {_QV},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         a.q AS qa, b.q AS qb
+  FROM qv a JOIN qv b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b, label,
+         sum(x * y)::BIGINT AS qdot,
+         sum(x * x)::BIGINT AS qna,
+         sum(y * y)::BIGINT AS qnb
+  FROM (SELECT vec_a, vec_b, label, unnest(qa) AS x, unnest(qb) AS y
+        FROM pairs)
+  GROUP BY 1, 2, 3
+)
+SELECT vec_a, vec_b, label, qdot,
+       round(qdot / sqrt(qna::DOUBLE * qnb::DOUBLE), 6) AS cos_q
+FROM dots
+WHERE round(qdot / sqrt(qna::DOUBLE * qnb::DOUBLE), 6) >= 0.3""",
+    "sim_topk_bruteforce": f"""
+WITH {_QV},
+queries AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT query_id, neighbor_id, sum(x * y)::BIGINT AS qdot
+  FROM (SELECT qs.query_id, c.vec_id AS neighbor_id,
+               unnest(qs.qq) AS x, unnest(c.q) AS y
+        FROM queries qs, qv c WHERE c.vec_id <> qs.query_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, qdot FROM (
+  SELECT query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+    "sim_topk_lsh": f"""
+WITH {_QV},
+qb AS (
+  SELECT vec_id, q,
+         (CASE WHEN q[1] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN q[2] >= 0 THEN 1 ELSE 0 END)::INTEGER AS bucket
+  FROM qv
+),
+queries AS (SELECT vec_id AS query_id, q AS qq, bucket FROM qb WHERE vec_id % 97 = 0),
+scored AS (
+  SELECT bucket, query_id, neighbor_id, sum(x * y)::BIGINT AS qdot
+  FROM (SELECT qs.bucket, qs.query_id, c.vec_id AS neighbor_id,
+               unnest(qs.qq) AS x, unnest(c.q) AS y
+        FROM queries qs JOIN qb c
+          ON c.bucket = qs.bucket AND c.vec_id <> qs.query_id)
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, bucket, neighbor_id, rank, qdot FROM (
+  SELECT bucket, query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5""",
+    "multimodal_features": """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(coalesce(text, '')) AS payload,
+         coalesce(text, '') AS payload_txt
+  FROM documents
+)
+SELECT asset_id, kind,
+       octet_length(payload)::BIGINT AS n_bytes,
+       md5(payload_txt) AS payload_md5,
+       (CASE kind WHEN 'image' THEN octet_length(payload) % 640 + 1
+                  WHEN 'audio' THEN 0
+                  ELSE octet_length(payload) % 1280 + 1 END)::INTEGER AS width,
+       (CASE kind WHEN 'image' THEN octet_length(payload) % 480 + 1
+                  WHEN 'audio' THEN 0
+                  ELSE octet_length(payload) % 720 + 1 END)::INTEGER AS height,
+       (CASE kind WHEN 'image' THEN 0
+                  WHEN 'audio' THEN octet_length(payload) * 8
+                  ELSE octet_length(payload) * 40 END)::INTEGER AS duration_ms,
+       (CASE kind WHEN 'image' THEN 1
+                  WHEN 'audio' THEN 0
+                  ELSE octet_length(payload) % 250 + 1 END)::INTEGER AS n_frames
+FROM assets""",
+    "kg_entity_link": f"""
+WITH mention AS (
+  SELECT DISTINCT 'http://example.org/doc/' || doc_id AS doc_iri, tok AS alias
+  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents)
+  WHERE length(tok) >= 4
+),
+vocab AS (SELECT DISTINCT alias FROM mention),
+dict AS (
+  SELECT alias, 'http://kb.example.org/' || alias AS entity_iri,
+         round(({_H8.format(x='alias')} % 1000) / 1000.0, 6) AS prior
+  FROM vocab
+  UNION ALL
+  SELECT alias, 'http://kb.example.org/' || alias || '_alt',
+         round(({_H8.format(x="alias || 'x'")} % 1000) / 1000.0, 6)
+  FROM vocab WHERE {_H8.format(x='alias')} % 3 = 0
+)
+SELECT doc_iri, alias, entity_iri, prior, link_rank FROM (
+  SELECT m.doc_iri, m.alias, d.entity_iri, d.prior,
+         row_number() OVER (PARTITION BY m.doc_iri, m.alias
+                            ORDER BY d.prior DESC, d.entity_iri ASC) AS link_rank
+  FROM mention m JOIN dict d USING (alias)
+) WHERE link_rank <= 1""",
+    "kg_canonicalize_cc": """
+WITH g AS (
+  SELECT doc_id, doc_id - doc_id % 5 AS head FROM documents
+),
+sizes AS (SELECT head, count(*) AS n FROM g GROUP BY head)
+SELECT 'http://example.org/doc/' || g.doc_id AS node,
+       'http://example.org/doc/' || g.head AS component
+FROM g JOIN sizes USING (head) WHERE sizes.n > 1""",
+}

