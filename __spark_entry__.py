@@ -20,9 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from qendpoint_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 from qendpoint_spark.ops_queries import OPS_ORACLES, OPS_QUERIES  # noqa: E402
+from qendpoint_spark.rel_queries import REL_ORACLES, REL_QUERIES  # noqa: E402
 
-QUERIES = {**QUERIES, **OPS_QUERIES}
-ORACLES = {**ORACLES, **OPS_ORACLES}
+QUERIES = {**QUERIES, **OPS_QUERIES, **REL_QUERIES}
+ORACLES = {**ORACLES, **OPS_ORACLES, **REL_ORACLES}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,237 @@
+"""Relational-shape query registry over the TPC-H-ish tables.
+
+SURVEY.md §2F: the construction pipeline exercises distinct / grouped
+aggregation / sort / window-rank / set ops / joins. These queries pin
+each shape independently on the generic tables (plus the streaming
+windowed aggregation), each with a DuckDB oracle — demonstrating that
+the engine underneath the KG pipeline is a complete analytics surface.
+
+Float policy: double sums are round(4) on both sides (accumulation
+order may differ between engines; 1e-4 rounding with ~1e-9 accumulated
+error makes boundary flips negligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qendpoint_spark.streaming import stream_events_windowed
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filtered grouped aggregation with derived
+    expressions (partial agg map-side; one shuffle on the group key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    """Multi-join star shape: fact x dims with broadcast of the small
+    dimensions (customer/nation join under the broadcast threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_window_topk_orders(spark, sf_dir):
+    """Top-3 orders per customer by totalprice: rank window partitioned
+    by a high-cardinality key (no single-reducer hotspot), integer/id
+    tie-break for determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+def q_window_running_balance(spark, sf_dir):
+    """Running cumulative sum per user over time (frame window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q_setops_customer_segments(spark, sf_dir):
+    """Set ops: customers with orders minus high-balance ones, union'd
+    with suppliers' nations — intersect/except/union shapes."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select(F.col("c_custkey").alias("key"), F.lit("has_order").alias("tag"))
+    no_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select(F.col("c_custkey").alias("key"), F.lit("no_order").alias("tag"))
+    return with_orders.unionByName(no_orders)
+
+
+def q_rollup_order_stats(spark, sf_dir):
+    """Rollup (hierarchical aggregate) over status x priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Batch sessionization: lag + gap-flag + cumulative session id —
+    the window-chain idiom (streaming twin: session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; cast via LTZ (session TZ pinned to
+    # UTC) to get epoch seconds comparable with DuckDB's epoch(ts)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(
+        epoch - F.lag(epoch, 1).over(w) > 1800,
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", gap)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def q_stream_events_window(spark, sf_dir):
+    """Structured Streaming watermarked tumbling window (availableNow
+    drain == batch GROUP BY; oracle is the batch equivalent)."""
+    return stream_events_windowed(
+        spark, sf_dir, window="1 hour", watermark="2 hours",
+        query_name=f"ew_{abs(hash(sf_dir)) % 10**8}",
+    )
+
+
+REL_QUERIES = {
+    "rel_agg_pricing_summary": q_agg_pricing_summary,
+    "rel_join_revenue_by_nation": q_join_revenue_by_nation,
+    "rel_window_topk_orders": q_window_topk_orders,
+    "rel_window_running_balance": q_window_running_balance,
+    "rel_setops_customer_segments": q_setops_customer_segments,
+    "rel_rollup_order_stats": q_rollup_order_stats,
+    "rel_sessionize_events": q_sessionize_events,
+    "stream_events_window": q_stream_events_window,
+}
+
+REL_ORACLES = {
+    "rel_agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+    "rel_join_revenue_by_nation": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    "rel_window_topk_orders": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3""",
+    "rel_window_running_balance": """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS running_value
+FROM events""",
+    "rel_setops_customer_segments": """
+SELECT c_custkey AS key, 'has_order' AS tag FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey AS key, 'no_order' AS tag FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "rel_rollup_order_stats": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "rel_sessionize_events": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(event_id) AS first_event
+FROM sessions GROUP BY user_id, session_no""",
+    "stream_events_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+}

@@ -1,0 +1,13 @@
+from qendpoint_spark.streaming.incremental import (
+    compact_staging,
+    sessionize_events,
+    stream_events_windowed,
+    stream_ingest_pages,
+)
+
+__all__ = [
+    "compact_staging",
+    "sessionize_events",
+    "stream_events_windowed",
+    "stream_ingest_pages",
+]
