@@ -35,6 +35,7 @@ SECTION_SHARED = "SH"
 SECTION_SUBJECT = "S"
 SECTION_OBJECT = "O"
 SECTION_PREDICATE = "P"
+SECTION_GRAPH = "G"
 
 
 def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -66,23 +67,36 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
        order, so per-section ranks fall out by subtracting the section's
        cumulative offset (4 numbers collected to the driver).
     """
-    # (term, flag) role facts; flags: 1=subject, 2=object, 4=predicate
+    with_graph = "g" in triples_str.columns
+    # (term, flag) role facts; flags: 1=subject, 2=object, 4=predicate,
+    # 8=graph. Predicates and graphs are independent ID namespaces
+    # (quad dictionaries, core/dictionary/impl quad variants), so they
+    # aggregate apart from the s/o universe via the ns key.
     facts = (
         triples_str.select(F.col("s").alias("term"), F.lit(1).alias("f"))
         .unionByName(triples_str.select(F.col("o").alias("term"), F.lit(2).alias("f")))
         .unionByName(triples_str.select(F.col("p").alias("term"), F.lit(4).alias("f")))
     )
-    # predicates are their own namespace: aggregate them apart from s/o
+    if with_graph:
+        facts = facts.unionByName(
+            triples_str.select(F.col("g").alias("term"), F.lit(8).alias("f"))
+        )
+    ns = (
+        F.when(F.col("f") == 4, F.lit(1))
+        .when(F.col("f") == 8, F.lit(2))
+        .otherwise(F.lit(0))
+    )
     roles = (
-        facts.withColumn("is_pred", (F.col("f") == 4).cast("int"))
-        .groupBy("term", "is_pred")
+        facts.withColumn("ns", ns)
+        .groupBy("term", "ns")
         .agg(F.max(F.when(F.col("f") == 1, 1).otherwise(0)).alias("is_s"),
              F.max(F.when(F.col("f") == 2, 1).otherwise(0)).alias("is_o"))
     )
-    # sec_key orders sections SH < S < O < P so one global rank serves all
+    # sec_key orders sections SH < S < O < P < G: one global rank serves all
     sectioned = roles.select(
         "term",
-        F.when(F.col("is_pred") == 1, F.lit(3))
+        F.when(F.col("ns") == 1, F.lit(3))
+        .when(F.col("ns") == 2, F.lit(4))
         .when((F.col("is_s") == 1) & (F.col("is_o") == 1), F.lit(0))
         .when(F.col("is_s") == 1, F.lit(1))
         .otherwise(F.lit(2))
@@ -95,33 +109,30 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
     n_sh = counts.get(0, 0)
     n_s = counts.get(1, 0)
     n_o = counts.get(2, 0)
-    sec_offset = {0: 0, 1: n_sh, 2: n_sh + n_s, 3: n_sh + n_s + n_o}
-    # global id: SH -> sec_rank, S/O -> n_sh + sec_rank, P -> sec_rank
-    id_base = {0: 0, 1: n_sh, 2: n_sh, 3: 0}
-    sec_name = {0: SECTION_SHARED, 1: SECTION_SUBJECT, 2: SECTION_OBJECT, 3: SECTION_PREDICATE}
+    sec_offset = {0: 0, 1: n_sh, 2: n_sh + n_s, 3: n_sh + n_s + n_o,
+                  4: n_sh + n_s + n_o + counts.get(3, 0)}
+    # global id: SH -> sec_rank, S/O -> n_sh + sec_rank, P/G -> sec_rank
+    id_base = {0: 0, 1: n_sh, 2: n_sh, 3: 0, 4: 0}
+    sec_name = {0: SECTION_SHARED, 1: SECTION_SUBJECT, 2: SECTION_OBJECT,
+                3: SECTION_PREDICATE, 4: SECTION_GRAPH}
 
     sec_col = F.col("sec_key")
     rank_col = F.col("grank")
-    section = (
-        F.when(sec_col == 0, F.lit(sec_name[0]))
-        .when(sec_col == 1, F.lit(sec_name[1]))
-        .when(sec_col == 2, F.lit(sec_name[2]))
-        .otherwise(F.lit(sec_name[3]))
-    )
-    sec_rank = (
-        rank_col
-        - F.when(sec_col == 0, F.lit(sec_offset[0]))
-        .when(sec_col == 1, F.lit(sec_offset[1]))
-        .when(sec_col == 2, F.lit(sec_offset[2]))
-        .otherwise(F.lit(sec_offset[3]))
-    ).cast("long")
-    gid = (
-        sec_rank
-        + F.when(sec_col == 0, F.lit(id_base[0]))
-        .when(sec_col == 1, F.lit(id_base[1]))
-        .when(sec_col == 2, F.lit(id_base[2]))
-        .otherwise(F.lit(id_base[3]))
-    ).cast("long")
+
+    def by_key(mapping: dict[int, object], as_lit=True):
+        expr = None
+        for key, val in mapping.items():
+            lit = F.lit(val)
+            expr = (
+                F.when(sec_col == key, lit)
+                if expr is None
+                else expr.when(sec_col == key, lit)
+            )
+        return expr
+
+    section = by_key(sec_name)
+    sec_rank = (rank_col - by_key(sec_offset)).cast("long")
+    gid = (sec_rank + by_key(id_base)).cast("long")
     return ranked.select(
         "term",
         section.alias("section"),
@@ -148,4 +159,11 @@ def predicate_map(dict_terms: DataFrame) -> DataFrame:
     """term -> predicate-space id (P)."""
     return dict_terms.filter(F.col("section") == SECTION_PREDICATE).select(
         "term", F.col("id").alias("pid")
+    )
+
+
+def graph_map(dict_terms: DataFrame) -> DataFrame:
+    """term -> graph-space id (G, quad mode)."""
+    return dict_terms.filter(F.col("section") == SECTION_GRAPH).select(
+        "term", F.col("id").alias("gid")
     )

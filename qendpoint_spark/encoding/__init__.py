@@ -6,6 +6,11 @@ from qendpoint_spark.encoding.indexes import (
     object_index,
     with_adjacency_bits,
 )
+from qendpoint_spark.encoding.header import (
+    build_header,
+    export_ntriples,
+    with_datatype,
+)
 
 __all__ = [
     "encode_triples",
@@ -15,4 +20,7 @@ __all__ = [
     "predicate_index",
     "object_index",
     "with_adjacency_bits",
+    "build_header",
+    "export_ntriples",
+    "with_datatype",
 ]

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qendpoint_spark.dictionary.builder import (
+    graph_map,
     object_map,
     predicate_map,
     subject_map,
@@ -34,28 +35,39 @@ from qendpoint_spark.dictionary.builder import (
 
 
 def encode_triples(triples_str: DataFrame, dict_terms: DataFrame) -> DataFrame:
-    """(s,p,o strings) x dict -> unique (s,p,o longs).
+    """(s,p,o[,g] strings) x dict -> unique (s,p,o[,g] longs).
 
     Equivalent of CompressTripleMapper.extract* + SPO dedup
-    (NoDuplicateTripleIDIterator.java:14).
+    (NoDuplicateTripleIDIterator.java:14). Quad mode (a `g` column)
+    adds a broadcast join against the G section (graph dictionaries
+    are small: one term per graph).
     """
+    with_graph = "g" in triples_str.columns
     smap = subject_map(dict_terms)
     pmap = predicate_map(dict_terms)
     omap = object_map(dict_terms)
-    return (
+    out = (
         triples_str.join(smap, triples_str["s"] == smap["term"], "inner")
         .drop("term")
         .join(F.broadcast(pmap), triples_str["p"] == pmap["term"], "inner")
         .drop("term")
         .join(omap, triples_str["o"] == omap["term"], "inner")
         .drop("term")
-        .select(
-            F.col("sid").alias("s"),
-            F.col("pid").alias("p"),
-            F.col("oid").alias("o"),
-        )
-        .dropDuplicates(["s", "p", "o"])
     )
+    cols = [
+        F.col("sid").alias("s"),
+        F.col("pid").alias("p"),
+        F.col("oid").alias("o"),
+    ]
+    keys = ["s", "p", "o"]
+    if with_graph:
+        gmap = graph_map(dict_terms)
+        out = out.join(
+            F.broadcast(gmap), triples_str["g"] == gmap["term"], "inner"
+        ).drop("term")
+        cols.append(F.col("gid").alias("g"))
+        keys.append("g")
+    return out.select(*cols).dropDuplicates(keys)
 
 
 def decode_triples(triples_id: DataFrame, dict_terms: DataFrame) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Dataset header: the HDT Header analog.
+
+The reference's header is a tiny RDF graph of dataset metadata —
+triple counts, distinct counts, original size
+(core/header/PlainHeader.java; `_:statistics <hdt:originalSize>`
+written at HDTDiskImporter.java:295). Here it is a one-row stats table
+computed with a single aggregate pass over each component (plus
+raw-size accounting from the string triples, SectionCompressor.java:268).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_header(triples_str: DataFrame, dict_terms: DataFrame, triples_id: DataFrame) -> DataFrame:
+    """One row: dataset statistics for planner stats + parity with the
+    reference header fields."""
+    raw = triples_str.agg(
+        F.count(F.lit(1)).alias("n_raw_triples"),
+        F.sum(
+            F.length("s") + F.length("p") + F.length("o") + F.lit(2)
+        ).cast("long").alias("original_size"),
+    )
+    sections = (
+        dict_terms.groupBy()
+        .pivot("section", ["SH", "S", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.coalesce(F.col("SH"), F.lit(0)).alias("n_shared"),
+            F.coalesce(F.col("S"), F.lit(0)).alias("n_subjects_only"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_objects_only"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_predicates"),
+        )
+    )
+    enc = triples_id.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_distinct_subjects"),
+        F.countDistinct("p").alias("n_distinct_predicates"),
+        F.countDistinct("o").alias("n_distinct_objects"),
+        F.max("s").alias("max_subject_id"),
+        F.max("o").alias("max_object_id"),
+    )
+    return raw.crossJoin(sections).crossJoin(enc)
+
+
+def export_ntriples(triples_str: DataFrame) -> DataFrame:
+    """HDT -> .nt line sink (TripleWriterNtriples / HDT2RDF analog,
+    core/hdt/writer/TripleWriterNtriples.java): one N-Triples line per
+    statement; IRIs get angle brackets, literals/bnodes pass through.
+    Write with df.write.text(path)."""
+
+    def term(col, obj=False):
+        is_lit = F.col(col).startswith('"')
+        is_bnode = F.col(col).startswith("_:")
+        return (
+            F.when(is_lit | is_bnode, F.col(col))
+            .otherwise(F.concat(F.lit("<"), F.col(col), F.lit(">")))
+        )
+
+    return triples_str.select(
+        F.concat_ws(
+            " ", term("s"), term("p"), term("o", obj=True), F.lit(".")
+        ).alias("value")
+    )
+
+
+# --- typed-literal sectioning (MultipleSectionDictionary analog) -------
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+NO_DATATYPE = "NO_DATATYPE"
+
+
+def with_datatype(dict_terms: DataFrame) -> DataFrame:
+    """Attach the reference's literal grouping key
+    (LiteralsUtils.getType, core/util/LiteralsUtils.java:177-188):
+      - non-literal terms (IRI/bnode)      -> kind 'ref'
+      - "v"^^<dt>                           -> kind 'typed', datatype dt
+      - "v"@lang                            -> kind 'lang', the tag
+      - plain "v"                           -> kind 'plain', NO_DATATYPE
+    The MSD layout is then a secondary sort on (datatype, term) — a
+    partition/sort-key choice, not a different table."""
+    is_lit = F.col("term").startswith('"')
+    dt = F.regexp_extract(F.col("term"), r'\^\^<([^>]+)>$', 1)
+    lang = F.regexp_extract(F.col("term"), r'"@([A-Za-z0-9-]+)$', 1)
+    return dict_terms.withColumn(
+        "kind",
+        F.when(~is_lit, F.lit("ref"))
+        .when(dt != "", F.lit("typed"))
+        .when(lang != "", F.lit("lang"))
+        .otherwise(F.lit("plain")),
+    ).withColumn(
+        "datatype",
+        F.when(~is_lit, F.lit(None).cast("string"))
+        .when(dt != "", dt)
+        .when(lang != "", F.concat(F.lit("@"), lang))
+        .otherwise(F.lit(NO_DATATYPE)),
+    )

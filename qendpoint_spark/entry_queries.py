@@ -29,6 +29,11 @@ from qendpoint_spark.encoding import (
     spo_table,
     with_adjacency_bits,
 )
+from qendpoint_spark.encoding.header import (
+    build_header,
+    export_ntriples,
+    with_datatype,
+)
 from qendpoint_spark.extraction import extract_triples_from_documents
 
 # ---------------------------------------------------------------- caching
@@ -106,8 +111,72 @@ def q_kg_shared_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_header(
+        _triples(spark, sf_dir), _dict(spark, sf_dir), _enc(spark, sf_dir)
+    )
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return export_ntriples(_triples(spark, sf_dir))
+
+
+def q_kg_datatype_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_datatype(_dict(spark, sf_dir)).select(
+        "term", "section", "id", "kind", "datatype"
+    )
+
+
+def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad mode: per-document metadata triples in per-source named
+    graphs -> G-section dictionary + (s,p,o,g) encode."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string")).alias("s"),
+        F.lit("http://example.org/prop/lang").alias("p"),
+        F.concat(F.lit('"'), F.col("lang"), F.lit('"@'), F.col("lang")).alias("o"),
+        F.concat(F.lit("http://example.org/graph/"), F.col("source")).alias("g"),
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string")).alias("s"),
+            F.lit("http://example.org/prop/source").alias("p"),
+            F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("o"),
+            F.concat(F.lit("http://example.org/graph/"), F.col("source")).alias("g"),
+        )
+    )
+    qdict = build_dictionary(base).localCheckpoint(eager=True)
+    return encode_triples(base, qdict)
+
+
+def q_kg_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """?P? pattern scan via the access-path planner: p = the
+    'mentions' predicate (id 3 — P section sorted: label<lang<
+    mentions<nchars<source, stable across SFs)."""
+    from qendpoint_spark.encoding import ops_table, spo_table
+    from qendpoint_spark.plans import scan_pattern
+
+    enc = _enc(spark, sf_dir)
+    return scan_pattern(spo_table(enc), ops_table(enc), p=3)
+
+
+def q_kg_pattern_scan_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """??O pattern via the OPS table: o = 1 (binary-smallest shared
+    term's object id)."""
+    from qendpoint_spark.encoding import ops_table, spo_table
+    from qendpoint_spark.plans import scan_pattern
+
+    enc = _enc(spark, sf_dir)
+    return scan_pattern(spo_table(enc), ops_table(enc), o=1)
+
+
 QUERIES = {
     "kg_extract_triples": q_kg_extract,
+    "kg_quads_encode": q_kg_quads,
+    "kg_pattern_scan_p": q_kg_pattern_scan,
+    "kg_pattern_scan_o": q_kg_pattern_scan_obj,
+    "kg_header": q_kg_header,
+    "kg_ntriples_export": q_kg_ntriples,
+    "kg_datatype_sections": q_kg_datatype_sections,
     "kg_dictionary": q_kg_dictionary,
     "kg_encode_spo": q_kg_spo,
     "kg_ops_index": q_kg_ops,
@@ -195,8 +264,99 @@ enc AS (
 )
 """
 
+_QUAD_ORACLE = """
+WITH quads AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'http://example.org/doc/' || doc_id AS s,
+           'http://example.org/prop/lang' AS p,
+           '"' || lang || '"@' || lang AS o,
+           'http://example.org/graph/' || source AS g
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/source',
+           '"' || source || '"',
+           'http://example.org/graph/' || source
+    FROM documents
+  )
+),
+subs AS (SELECT DISTINCT s AS term FROM quads),
+objs AS (SELECT DISTINCT o AS term FROM quads),
+sh AS (SELECT term FROM subs INTERSECT SELECT term FROM objs),
+sonly AS (SELECT term FROM subs EXCEPT SELECT term FROM objs),
+oonly AS (SELECT term FROM objs EXCEPT SELECT term FROM subs),
+nsh AS (SELECT count(*) AS n FROM sh),
+smap AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS sid FROM sh
+  UNION ALL
+  SELECT term, (SELECT n FROM nsh) + row_number() OVER (ORDER BY term)
+  FROM sonly
+),
+omap AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS oid FROM sh
+  UNION ALL
+  SELECT term, (SELECT n FROM nsh) + row_number() OVER (ORDER BY term)
+  FROM oonly
+),
+pmap AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS pid
+  FROM (SELECT DISTINCT p AS term FROM quads)
+),
+gmap AS (
+  SELECT term, row_number() OVER (ORDER BY term) AS gid
+  FROM (SELECT DISTINCT g AS term FROM quads)
+)
+SELECT DISTINCT sm.sid AS s, pm.pid AS p, om.oid AS o, gm.gid AS g
+FROM quads q
+JOIN smap sm ON q.s = sm.term
+JOIN pmap pm ON q.p = pm.term
+JOIN omap om ON q.o = om.term
+JOIN gmap gm ON q.g = gm.term"""
+
 ORACLES = {
     "kg_extract_triples": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_quads_encode": _QUAD_ORACLE,
+    "kg_pattern_scan_p": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE p = 3",
+    "kg_pattern_scan_o": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE o = 1",
+    "kg_header": _KG_PRELUDE
+    + """
+    SELECT * FROM
+    (SELECT count(*) AS n_raw_triples,
+            sum(length(s) + length(p) + length(o) + 2)::BIGINT AS original_size
+     FROM triples),
+    (SELECT sum(CASE WHEN section = 'SH' THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+            sum(CASE WHEN section = 'S' THEN 1 ELSE 0 END)::BIGINT AS n_subjects_only,
+            sum(CASE WHEN section = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_objects_only,
+            sum(CASE WHEN section = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_predicates
+     FROM dict),
+    (SELECT count(*) AS n_triples,
+            count(DISTINCT s) AS n_distinct_subjects,
+            count(DISTINCT p) AS n_distinct_predicates,
+            count(DISTINCT o) AS n_distinct_objects,
+            max(s) AS max_subject_id, max(o) AS max_object_id
+     FROM enc)""",
+    "kg_ntriples_export": _KG_PRELUDE
+    + """
+    SELECT concat_ws(' ',
+      CASE WHEN s LIKE '"%' OR s LIKE '_:%' THEN s ELSE '<' || s || '>' END,
+      CASE WHEN p LIKE '"%' OR p LIKE '_:%' THEN p ELSE '<' || p || '>' END,
+      CASE WHEN o LIKE '"%' OR o LIKE '_:%' THEN o ELSE '<' || o || '>' END,
+      '.') AS value
+    FROM triples""",
+    "kg_datatype_sections": _KG_PRELUDE
+    + r"""
+    SELECT term, section, id,
+      CASE WHEN term NOT LIKE '"%' THEN 'ref'
+           WHEN regexp_extract(term, '\^\^<([^>]+)>$', 1) <> '' THEN 'typed'
+           WHEN regexp_extract(term, '"@([A-Za-z0-9-]+)$', 1) <> '' THEN 'lang'
+           ELSE 'plain' END AS kind,
+      CASE WHEN term NOT LIKE '"%' THEN NULL
+           WHEN regexp_extract(term, '\^\^<([^>]+)>$', 1) <> ''
+                THEN regexp_extract(term, '\^\^<([^>]+)>$', 1)
+           WHEN regexp_extract(term, '"@([A-Za-z0-9-]+)$', 1) <> ''
+                THEN '@' || regexp_extract(term, '"@([A-Za-z0-9-]+)$', 1)
+           ELSE 'NO_DATATYPE' END AS datatype
+    FROM dict""",
     "kg_dictionary": _KG_PRELUDE + "SELECT term, section, sec_rank, id FROM dict",
     "kg_encode_spo": _KG_PRELUDE + "SELECT s, p, o FROM enc",
     "kg_ops_index": _KG_PRELUDE + "SELECT o, p, s FROM enc",

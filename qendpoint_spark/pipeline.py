@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from qendpoint_spark.catalog import Catalog, StageResult
 from qendpoint_spark.dictionary import build_dictionary
 from qendpoint_spark.encoding import (
+    build_header,
     encode_triples,
     object_index,
     ops_table,
@@ -139,12 +140,18 @@ def run_pipeline(
         )
     report.stages.append(res)
 
-    # S5 stats --------------------------------------------------------------
+    # S5 stats + header ----------------------------------------------------
     if with_stats:
         fp4 = _fingerprint(fp3, "stats")
         for name, fn in (
             ("predicate_index", predicate_index),
             ("object_index", object_index),
+            (
+                "header",
+                lambda t: build_header(
+                    triples_str, catalog.read("dict_terms"), t
+                ),
+            ),
         ):
             lin = catalog.lineage(name)
             if lin is not None and lin.get("input_fingerprint") == fp4 and not force:

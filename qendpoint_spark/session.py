@@ -29,7 +29,9 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", max(cores * 2, 16))
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -1,0 +1,84 @@
+"""HDTVerify port: validate a pipeline warehouse's structural invariants
+(qendpoint-core core/tools/HDTVerify.java:91-405 — strict sort order,
+uniqueness, ID density, resolvability).
+
+Usage: python scripts/verify_tables.py <warehouse_dir>
+Exit 0 = all invariants hold.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from qendpoint_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    wh = sys.argv[1]
+    spark = get_spark("verify-tables", cores=8)
+    d = spark.read.parquet(f"{wh}/dict_terms")
+    spo = spark.read.parquet(f"{wh}/triples_spo")
+    ops = spark.read.parquet(f"{wh}/triples_ops")
+    errors: list[str] = []
+
+    def check(name: str, cond: bool) -> None:
+        print(("PASS " if cond else "FAIL "), name)
+        if not cond:
+            errors.append(name)
+
+    # sections duplicate-free + strictly sorted by binary term order
+    n_terms = d.count()
+    check("sections duplicate-free", d.select("section", "term").distinct().count() == n_terms)
+    w = Window.partitionBy("section").orderBy("sec_rank")
+    mis = (
+        d.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") >= F.col("term")))
+        .count()
+    )
+    check("sections strictly sorted (rank order == binary term order)", mis == 0)
+
+    # ID density per space
+    for secs, label in ((["SH", "S"], "subject"), (["SH", "O"], "object"), (["P"], "predicate")):
+        space = d.filter(F.col("section").isin(secs))
+        n = space.count()
+        stats = space.agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi"), F.countDistinct("id").alias("u")
+        ).collect()[0]
+        check(f"{label} ids dense 1..n", (n == 0) or (stats.lo == 1 and stats.hi == n and stats.u == n))
+
+    # SH == distinct(subjects) ∩ distinct(objects) of the decoded set is
+    # implied by construction; cheap proxy: every SH id used as s and o
+    sh_ids = d.filter(F.col("section") == "SH").select(F.col("id").alias("x"))
+    used_s = spo.select(F.col("s").alias("x")).distinct()
+    used_o = spo.select(F.col("o").alias("x")).distinct()
+    check("every SH id occurs as subject", sh_ids.join(used_s, "x", "left_anti").count() == 0)
+    check("every SH id occurs as object", sh_ids.join(used_o, "x", "left_anti").count() == 0)
+
+    # triples unique + subjects correlative 1..n
+    check("spo unique", spo.count() == spo.dropDuplicates(["s", "p", "o"]).count())
+    subj = spo.agg(F.countDistinct("s").alias("u"), F.max("s").alias("m")).collect()[0]
+    check("subjects correlative 1..n", subj.u == subj.m)
+    check("ops row set == spo row set",
+          spo.select("s", "p", "o").exceptAll(ops.select("s", "p", "o")).count() == 0
+          and spo.count() == ops.count())
+
+    # every id in triples resolves to a term
+    smap = d.filter(F.col("section").isin("SH", "S")).select(F.col("id").alias("s"))
+    pmap = d.filter(F.col("section") == "P").select(F.col("id").alias("p"))
+    omap = d.filter(F.col("section").isin("SH", "O")).select(F.col("id").alias("o"))
+    check("all subject ids resolvable", spo.join(smap, "s", "left_anti").count() == 0)
+    check("all predicate ids resolvable", spo.join(pmap, "p", "left_anti").count() == 0)
+    check("all object ids resolvable", spo.join(omap, "o", "left_anti").count() == 0)
+
+    print("FAILED:", errors if errors else "none")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
