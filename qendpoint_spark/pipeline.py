@@ -21,6 +21,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from qendpoint_spark.catalog import Catalog, StageResult
 from qendpoint_spark.dictionary import build_dictionary
@@ -61,12 +62,24 @@ def run_pipeline(
     num_partitions: int | None = None,
     with_stats: bool = True,
     force: bool = False,
+    alias_dict: DataFrame | None = None,
+    sameas: DataFrame | None = None,
 ) -> PipelineReport:
-    """Run extract -> dictionary -> encode -> ops (-> stats).
+    """Run extract [-> link] [-> canonicalize] -> dictionary -> encode
+    -> ops (-> stats).
 
     source_df: the pages or documents DataFrame. source_fingerprint
     should identify the input snapshot (path + row count, config...);
     stages resume when it is unchanged.
+
+    alias_dict(alias, entity_iri, prior[, block_key]): when given, the
+    `linked_mentions` stage scores every mention (the ent/<alias>
+    objects emitted by extraction) against it — broadcast join +
+    deterministic top-1 (north_star EL stage).
+
+    sameas(iri_a, iri_b): when given, the `triples_canon` stage rewrites
+    subjects/objects through large-star/small-star connected components
+    and all downstream stages consume the canonical triples.
     """
     t_start = time.time()
     report = PipelineReport()
@@ -93,6 +106,47 @@ def run_pipeline(
     report.stages.append(res)
     triples_str = catalog.read("triples_str")
 
+    # S1b entity linking (optional artifact stage) --------------------------
+    if alias_dict is not None:
+        from qendpoint_spark.extraction.triples import BASE, P_MENTIONS
+        from qendpoint_spark.linking import link_mentions
+
+        fp_l = _fingerprint(fp0, "link", str(res.rows))
+        lin = catalog.lineage("linked_mentions")
+        if lin is not None and lin.get("input_fingerprint") == fp_l and not force:
+            report.stages.append(
+                StageResult("linked_mentions", catalog.table_path("linked_mentions"),
+                            lin["row_count"], lin["wall_ms"], True)
+            )
+        else:
+            prefix_len = len(BASE + "ent/")
+            mentions = (
+                triples_str.filter(F.col("p") == P_MENTIONS)
+                .select(
+                    F.col("s").alias("doc_iri"),
+                    F.col("o").substr(F.lit(prefix_len + 1), F.length("o")).alias("alias"),
+                )
+            )
+            linked = link_mentions(mentions, alias_dict, broadcast_dict=True)
+            report.stages.append(
+                catalog.write_stage("linked_mentions", linked, fp_l, force=force)
+            )
+
+    # S1c canonicalization (optional; downstream consumes the rewrite) ------
+    if sameas is not None:
+        from qendpoint_spark.linking import canonicalize_triples
+
+        fp_c = _fingerprint(fp0, "canon", str(res.rows))
+        lin = catalog.lineage("triples_canon")
+        if lin is not None and lin.get("input_fingerprint") == fp_c and not force:
+            res = StageResult("triples_canon", catalog.table_path("triples_canon"),
+                              lin["row_count"], lin["wall_ms"], True)
+        else:
+            canon = canonicalize_triples(triples_str, sameas)
+            res = catalog.write_stage("triples_canon", canon, fp_c, force=force)
+        report.stages.append(res)
+        triples_str = catalog.read("triples_canon")
+
     # S2 dictionary ---------------------------------------------------------
     fp1 = _fingerprint(fp0, "dict", str(res.rows))
     lin = catalog.lineage("dict_terms")
@@ -112,7 +166,8 @@ def run_pipeline(
         res = StageResult("triples_spo", catalog.table_path("triples_spo"),
                           lin["row_count"], lin["wall_ms"], True)
     else:
-        enc = encode_triples(triples_str, dict_terms)
+        # the extraction stage emits distinct triples by construction
+        enc = encode_triples(triples_str, dict_terms, assume_distinct=True)
         res = catalog.write_stage(
             "triples_spo",
             spo_table(enc, num_partitions=num_partitions),
