@@ -97,6 +97,15 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(assets_from_documents(_docs(spark, sf_dir)))
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF (k-means inverted lists) ANN — iterative training, so the
+    driver records a rows-only check; exactness is covered by
+    sim_topk_bruteforce's oracle and the pytest recall test."""
+    from qendpoint_spark.ops.ivf import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), query_mod=97, k=5, n_centroids=8, nprobe=2)
+
+
 def q_entity_link(spark, sf_dir):
     """Mentions = qualifying tokens; synthetic deterministic alias dict
     with ambiguous aliases (hash-gated _alt candidates)."""
@@ -157,6 +166,7 @@ OPS_QUERIES = {
     "dedup_embedding": q_embed_dup,
     "sim_topk_bruteforce": q_sim_topk,
     "sim_topk_lsh": q_sim_lsh_topk,
+    "sim_topk_ivf": q_sim_topk_ivf,  # rows-only: iterative k-means
     "multimodal_features": q_multimodal_features,
     "kg_entity_link": q_entity_link,
     "kg_canonicalize_cc": q_canonicalize_cc,
