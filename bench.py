@@ -40,10 +40,13 @@ def main() -> None:
     expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "40"))
     sf = sf_dir.rstrip("/").split("/")[-1].replace("sf", "")
 
-    # optional fast substrate for scaling runs (e.g. /dev/shm): removes
-    # the shared-disk bottleneck so the 8-vs-32-core comparison measures
-    # compute scaling, not /dev/vda saturation
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "")
+    # fast substrate (tmpfs) by default when available: the sandbox's
+    # shared /dev/vda disk otherwise caps and noises every run; on a
+    # real cluster this role is played by node-local SSD shuffle dirs
+    default_scratch = "/dev/shm/qs_bench" if os.path.isdir("/dev/shm") else ""
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", default_scratch)
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
     extra = {"spark.local.dir": scratch} if scratch else {}
     spark = get_spark("qendpoint-bench", cores=cpus, extra_conf=extra)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
