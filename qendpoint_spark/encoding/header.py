@@ -10,7 +10,7 @@ raw-size accounting from the string triples, SectionCompressor.java:268).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,6 +63,55 @@ def export_ntriples(triples_str: DataFrame) -> DataFrame:
         F.concat_ws(
             " ", term("s"), term("p"), term("o", obj=True), F.lit(".")
         ).alias("value")
+    )
+
+
+# --- front-coding parity view (PFCDictionarySection analog) ------------
+
+
+def pfc_view(dict_terms: DataFrame, block_size: int = 16) -> DataFrame:
+    """Plain-Front-Coding view of the dictionary sections: every
+    block_size-th term is a block head stored whole; followers store
+    (lcp with predecessor, suffix) — the reference's on-disk section
+    encoding (PFCDictionarySection.java:59,96-150). At rest Parquet's
+    delta/dict encodings already play this role; this view exists for
+    structural parity checks and size accounting.
+
+    Windows partition by section — each section's rank order is the
+    front-coding order, and the window keys are high-cardinality-safe
+    because sections are re-range-partitioned by (section, sec_rank).
+    """
+    w = Window.partitionBy("section").orderBy("sec_rank")
+    prev = F.lag("term").over(w)
+    is_head = ((F.col("sec_rank") - 1) % block_size == 0) | prev.isNull()
+    # longest common prefix with the predecessor, computed as the
+    # largest i <= min(len) with equal prefixes (binary-safe on UTF-8
+    # because dictionary order is byte order)
+    df = dict_terms.withColumn("lag_term", prev)
+    term_c, lag_c = F.col("term"), F.col("lag_term")
+    minlen = F.least(F.length(term_c), F.length(lag_c))
+    # fold over prefix lengths: once prefixes diverge at i they stay
+    # divergent, so the accumulated max is exactly the LCP
+    lcp = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(minlen, F.lit(1))),
+        F.lit(0),
+        lambda acc, i: F.when(
+            (i <= minlen)
+            & (term_c.substr(F.lit(1), i) == lag_c.substr(F.lit(1), i)),
+            i,
+        ).otherwise(acc),
+    )
+    lcp_col = F.when(is_head | lag_c.isNull(), F.lit(0)).otherwise(lcp).cast("int")
+    return (
+        df.withColumn("is_head", is_head.cast("int"))
+        .withColumn("lcp", lcp_col)
+        .withColumn(
+            "suffix",
+            F.when(F.col("lcp") == 0, F.col("term")).otherwise(
+                F.expr("substring(term, lcp + 1, length(term))")
+            ),
+        )
+        .select("section", "sec_rank", "term", "is_head", "lcp", "suffix")
     )
 
 

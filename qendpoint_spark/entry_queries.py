@@ -32,6 +32,7 @@ from qendpoint_spark.encoding import (
 from qendpoint_spark.encoding.header import (
     build_header,
     export_ntriples,
+    pfc_view,
     with_datatype,
 )
 from qendpoint_spark.extraction import extract_triples_from_documents
@@ -121,6 +122,10 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(_triples(spark, sf_dir))
 
 
+def q_kg_pfc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pfc_view(_dict(spark, sf_dir))
+
+
 def q_kg_datatype_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_datatype(_dict(spark, sf_dir)).select(
         "term", "section", "id", "kind", "datatype"
@@ -177,6 +182,7 @@ QUERIES = {
     "kg_header": q_kg_header,
     "kg_ntriples_export": q_kg_ntriples,
     "kg_datatype_sections": q_kg_datatype_sections,
+    "kg_pfc_sections": q_kg_pfc_sections,
     "kg_dictionary": q_kg_dictionary,
     "kg_encode_spo": q_kg_spo,
     "kg_ops_index": q_kg_ops,
@@ -316,6 +322,32 @@ JOIN gmap gm ON q.g = gm.term"""
 ORACLES = {
     "kg_extract_triples": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_quads_encode": _QUAD_ORACLE,
+    "kg_pfc_sections": _KG_PRELUDE
+    + """
+    , lagged AS (
+      SELECT term, section, sec_rank,
+             lag(term) OVER (PARTITION BY section ORDER BY sec_rank) AS lag_term
+      FROM dict
+    ),
+    lcps AS (
+      SELECT term, section, sec_rank, lag_term,
+             CASE WHEN (sec_rank - 1) % 16 = 0 OR lag_term IS NULL THEN 1 ELSE 0 END
+               AS is_head,
+             coalesce(list_max(list_transform(
+               generate_series(1, greatest(least(length(term), length(lag_term)), 1)),
+               i -> CASE WHEN substring(term, 1, i) = substring(lag_term, 1, i)
+                         THEN i ELSE 0 END)), 0) AS raw_lcp
+      FROM lagged
+    )
+    SELECT section, sec_rank, term, is_head,
+           (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END)::INTEGER
+             AS lcp,
+           CASE WHEN (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END) = 0
+                THEN term
+                ELSE substring(term,
+                  (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END) + 1,
+                  length(term)) END AS suffix
+    FROM lcps""",
     "kg_pattern_scan_p": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE p = 3",
     "kg_pattern_scan_o": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE o = 1",
     "kg_header": _KG_PRELUDE
