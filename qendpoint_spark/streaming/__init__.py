@@ -1,3 +1,4 @@
+from qendpoint_spark.streaming.stateful import stream_first_seen_pages
 from qendpoint_spark.streaming.incremental import (
     compact_staging,
     sessionize_events,
@@ -10,4 +11,5 @@ __all__ = [
     "sessionize_events",
     "stream_events_windowed",
     "stream_ingest_pages",
+    "stream_first_seen_pages",
 ]
