@@ -78,6 +78,7 @@ class Catalog:
         input_fingerprint: str,
         sort_cols: list[str] | None = None,
         force: bool = False,
+        partition_by: list[str] | None = None,
     ) -> StageResult:
         """Commit `df` as the output of `stage`, or skip if an identical
         run already committed (same stage + fingerprint)."""
@@ -97,16 +98,28 @@ class Catalog:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
         # per-partition lineage rows (FIXTURES.md §8) from parquet footer
         # metadata — no extra Spark job over the data (footers only; an
-        # Iceberg catalog would expose the same via its manifest files)
+        # Iceberg catalog would expose the same via its manifest files).
+        # Recursive walk covers partitionBy layouts (section=SH/...).
+        files = []
+        for root, _dirs, fnames in os.walk(tmp):
+            for fname in fnames:
+                if fname.endswith(".parquet"):
+                    files.append(os.path.join(root, fname))
         per_part = []
-        for i, fname in enumerate(sorted(os.listdir(tmp))):
-            if not fname.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(os.path.join(tmp, fname))
-            per_part.append({"partition_id": i, "row_count": md.num_rows})
+        for i, fpath in enumerate(sorted(files)):
+            md = pq.read_metadata(fpath)
+            per_part.append(
+                {
+                    "partition_id": i,
+                    "row_count": md.num_rows,
+                    "path": os.path.relpath(fpath, tmp),
+                }
+            )
         rows = sum(p["row_count"] for p in per_part)
         if os.path.exists(path):
             shutil.rmtree(path)

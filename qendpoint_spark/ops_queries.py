@@ -139,6 +139,62 @@ def q_entity_link(spark, sf_dir):
     return link_mentions(toks, alias_dict, broadcast_dict=True, top_k=1)
 
 
+def q_quality_filter(spark, sf_dir):
+    """Training-data filtering: keep documents passing the quality
+    gate (the dedup/filter step a pretraining pipeline applies)."""
+    stats = text_stats(_docs(spark, sf_dir))
+    return stats.filter(
+        (F.col("quality_score") >= 0.05) & (F.col("n_tokens") >= 10)
+    ).select("doc_id", "n_tokens", "quality_score")
+
+
+def q_dedup_keepers(spark, sf_dir):
+    """Materialized dedup decision: the surviving document set after
+    exact dedup (keeper of each content group)."""
+    return exact_dedup(_docs(spark, sf_dir)).filter(
+        F.col("doc_id") == F.col("keeper_id")
+    ).select("doc_id", "group_size")
+
+
+def q_minhash_accuracy(spark, sf_dir):
+    """MinHash estimate audit: signature-agreement fraction vs exact
+    shingle Jaccard for the LSH candidate pairs — the quality check a
+    production dedup pipeline runs on its own index."""
+    from qendpoint_spark.ops.dedup import (
+        NUM_HASHES,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs, k=3)
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        exact.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(agree / F.lit(float(NUM_HASHES)), 6).alias("mh_estimate"),
+        )
+    )
+
+
 def q_canonicalize_cc(spark, sf_dir):
     """Real large-star/small-star CC over star-shaped sameas edges whose
     components have a closed form (group head = doc_id - doc_id % 5) —
@@ -170,6 +226,9 @@ OPS_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "kg_entity_link": q_entity_link,
     "kg_canonicalize_cc": q_canonicalize_cc,
+    "quality_filter": q_quality_filter,
+    "dedup_keepers": q_dedup_keepers,
+    "dedup_minhash_accuracy": q_minhash_accuracy,
 }
 
 # --------------------------------------------------------------- oracles
@@ -431,6 +490,62 @@ SELECT doc_iri, alias, entity_iri, prior, link_rank FROM (
                             ORDER BY d.prior DESC, d.entity_iri ASC) AS link_rank
   FROM mention m JOIN dict d USING (alias)
 ) WHERE link_rank <= 1""",
+    "quality_filter": f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id,
+         len(l) AS n_tokens,
+         len(list_filter(l, t -> t IN ('the','a','of','and'))) AS n_stopwords,
+         len(list_distinct(l)) AS n_distinct
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         round(least(n_tokens::DOUBLE / 100.0, 1.0)
+               * (1.0 - n_stopwords / greatest(n_tokens, 1)::DOUBLE)
+               * (n_distinct / greatest(n_tokens, 1)::DOUBLE), 6) AS quality_score
+  FROM base
+)
+SELECT doc_id, n_tokens, quality_score FROM scored
+WHERE quality_score >= 0.05 AND n_tokens >= 10""",
+    "dedup_keepers": """
+WITH hashed AS (
+  SELECT doc_id, md5(lower(trim(coalesce(text, '')))) AS text_hash
+  FROM documents
+),
+g AS (
+  SELECT text_hash, min(doc_id) AS keeper_id, count(*) AS group_size
+  FROM hashed GROUP BY text_hash
+)
+SELECT h.doc_id, g.group_size
+FROM hashed h JOIN g USING (text_hash)
+WHERE h.doc_id = g.keeper_id""",
+    "dedup_minhash_accuracy": f"""
+WITH {_SHINGLES},
+sig AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM sh GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.5
+)
+SELECT e.doc_a, e.doc_b, e.jaccard,
+       round(({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16))})
+             / 16.0, 6) AS mh_estimate
+FROM exact e
+JOIN sig a ON a.doc_id = e.doc_a
+JOIN sig b ON b.doc_id = e.doc_b""",
     "kg_canonicalize_cc": """
 WITH g AS (
   SELECT doc_id, doc_id - doc_id % 5 AS head FROM documents

@@ -155,7 +155,12 @@ def run_pipeline(
                           lin["row_count"], lin["wall_ms"], True)
     else:
         dict_terms = build_dictionary(triples_str, num_partitions=num_partitions)
-        res = catalog.write_stage("dict_terms", dict_terms, fp1, force=force)
+        # physical layout mirrors the reference's per-section files (and
+        # the MSD per-datatype split pattern): one partition directory
+        # per section, section-scoped reads prune at the file level
+        res = catalog.write_stage(
+            "dict_terms", dict_terms, fp1, force=force, partition_by=["section"]
+        )
     report.stages.append(res)
     dict_terms = catalog.read("dict_terms")
 
