@@ -98,12 +98,14 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_sim_topk_ivf(spark, sf_dir):
-    """IVF (k-means inverted lists) ANN — iterative training, so the
-    driver records a rows-only check; exactness is covered by
-    sim_topk_bruteforce's oracle and the pytest recall test."""
-    from qendpoint_spark.ops.ivf import ivf_topk
+    """IVF ANN serving the frozen coarse quantizer (trained once by
+    k-means — scripts/train_ivf_centroids.py): assignment + probe +
+    top-k over integer-quantized vectors, value-exact vs the SQL
+    oracle built from the same centroid literals. The iterative
+    trainer itself keeps its pytest recall gate (tests/test_ivf.py)."""
+    from qendpoint_spark.ops.ivf import ivf_topk_frozen
 
-    return ivf_topk(_emb(spark, sf_dir), query_mod=97, k=5, n_centroids=8, nprobe=2)
+    return ivf_topk_frozen(_emb(spark, sf_dir), query_mod=97, k=5, nprobe=2)
 
 
 def q_entity_link(spark, sf_dir):
@@ -222,7 +224,7 @@ OPS_QUERIES = {
     "dedup_embedding": q_embed_dup,
     "sim_topk_bruteforce": q_sim_topk,
     "sim_topk_lsh": q_sim_lsh_topk,
-    "sim_topk_ivf": q_sim_topk_ivf,  # rows-only: iterative k-means
+    "sim_topk_ivf": q_sim_topk_ivf,
     "multimodal_features": q_multimodal_features,
     "kg_entity_link": q_entity_link,
     "kg_canonicalize_cc": q_canonicalize_cc,
@@ -274,6 +276,61 @@ qv AS (
          list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS q
   FROM embeddings
 )"""
+
+
+def _ivf_frozen_oracle(query_mod: int = 97, k: int = 5, nprobe: int = 2) -> str:
+    """SQL twin of ivf_topk_frozen, built from the SAME centroid
+    literals — integer distances make assignment/probe/top-k exact."""
+    from qendpoint_spark.ops.ivf import FROZEN_CENTROIDS
+
+    cent_rows = ",\n    ".join(
+        f"({cid}, [{', '.join(map(str, vec))}]::BIGINT[])"
+        for cid, vec in enumerate(FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH {_QV},
+cent AS (
+  SELECT * FROM (VALUES
+    {cent_rows}
+  ) AS t(cid, cvec)
+),
+ad AS (
+  SELECT vec_id, cid, sum((x - y) * (x - y))::BIGINT AS d2
+  FROM (SELECT v.vec_id, c.cid, unnest(v.q) AS x, unnest(c.cvec) AS y
+        FROM qv v CROSS JOIN cent c)
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+    FROM ad
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+    FROM ad WHERE vec_id % {query_mod} = 0
+  ) WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT query_id, neighbor_id, sum((x - y) * (x - y))::BIGINT AS d2
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           unnest(vq.q) AS x, unnest(vn.q) AS y
+    FROM probes p
+    JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    JOIN qv vq ON vq.vec_id = p.query_id
+    JOIN qv vn ON vn.vec_id = a.vec_id
+  ) GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, d2 FROM (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}"""
 
 OPS_ORACLES = {
     "dedup_exact": """
@@ -442,6 +499,7 @@ SELECT query_id, bucket, neighbor_id, rank, qdot FROM (
                             ORDER BY qdot DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5""",
+    "sim_topk_ivf": _ivf_frozen_oracle(query_mod=97, k=5, nprobe=2),
     "multimodal_features": """
 WITH assets AS (
   SELECT doc_id AS asset_id,

@@ -221,13 +221,15 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
+  -- ::BIGINT: DuckDB's windowed sum(int) yields HUGEINT (int128); the
+  -- driver's value hash is type-sensitive, Spark emits BIGINT
   SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_no
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS session_no
   FROM flagged
 )
-SELECT user_id, session_no, count(*) AS n_events,
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
        min(event_id) AS first_event
 FROM sessions GROUP BY user_id, session_no""",
     "stream_events_window": """
