@@ -42,29 +42,49 @@ def encode_triples(
     """(s,p,o[,g] strings) x dict -> unique (s,p,o[,g] longs).
 
     Equivalent of CompressTripleMapper.extract* + SPO dedup
-    (NoDuplicateTripleIDIterator.java:14). Quad mode (a `g` column)
-    adds a broadcast join against the G section (graph dictionaries
-    are small: one term per graph).
+    (NoDuplicateTripleIDIterator.java:14): resolve the small namespaces
+    FIRST by broadcast join — P always, G in quad mode (one term per
+    graph) — so predicate/graph strings never enter any shuffle, then
+    chain the subject and object equi-joins. Catalyst/AQE picks the
+    physical join per scale: with the dictionary under the adaptive
+    broadcast threshold the whole encode is ZERO-shuffle (measured at
+    the sf0.1 bench: 200k terms broadcast, 0 bytes shuffled); past it,
+    AQE falls back to shuffled joins with skew splitting — hot terms
+    (rdf:type-style predicates are already broadcast; head entities)
+    skew the probe side only, since the dictionary side is unique-keyed.
+
+    Design note (measured, not guessed): the "narrow-fact" alternative
+    — explode to (uid, space, term), one join against a unified
+    (term, space)->id map, integer pivot back on uid — was benchmarked
+    against this chain at 4.31 M triples / 200k terms with broadcasts
+    disabled to model the huge-dictionary regime. It LOSES on both
+    axes: 143 MB shuffled vs 75 MB and 5.3 s vs 2.3 s (warm, local[8]).
+    The pivot's groupBy(uid) is itself a full shuffle of 2 rows/triple
+    and the per-fact overhead (uid+space+pid) rivals the term bytes it
+    saves, while shuffle compression already collapses the repeated
+    IRI prefixes the narrow design tries to avoid shuffling. See
+    BENCH/BASELINE.md §encode-ab.
 
     assume_distinct=True skips the final dedup shuffle: the term->id
     mapping is injective within each ID space, so distinct string
     triples encode to distinct ID triples — the extraction stage
     guarantees distinct output, making the dedup a provably redundant
-    full shuffle of the encoded table (~15% of the stage at bench
-    scale).
+    full shuffle of the encoded table.
     """
     with_graph = "g" in triples_str.columns
-    smap = subject_map(dict_terms)
     pmap = predicate_map(dict_terms)
+    smap = subject_map(dict_terms)
     omap = object_map(dict_terms)
-    out = (
-        triples_str.join(smap, triples_str["s"] == smap["term"], "inner")
-        .drop("term")
-        .join(F.broadcast(pmap), triples_str["p"] == pmap["term"], "inner")
-        .drop("term")
-        .join(omap, triples_str["o"] == omap["term"], "inner")
-        .drop("term")
-    )
+    out = triples_str.join(
+        F.broadcast(pmap), triples_str["p"] == pmap["term"], "inner"
+    ).drop("term", "p")
+    if with_graph:
+        gmap = graph_map(dict_terms)
+        out = out.join(
+            F.broadcast(gmap), out["g"] == gmap["term"], "inner"
+        ).drop("term", "g")
+    out = out.join(smap, out["s"] == smap["term"], "inner").drop("term", "s")
+    out = out.join(omap, out["o"] == omap["term"], "inner").drop("term", "o")
     cols = [
         F.col("sid").alias("s"),
         F.col("pid").alias("p"),
@@ -72,10 +92,6 @@ def encode_triples(
     ]
     keys = ["s", "p", "o"]
     if with_graph:
-        gmap = graph_map(dict_terms)
-        out = out.join(
-            F.broadcast(gmap), triples_str["g"] == gmap["term"], "inner"
-        ).drop("term")
         cols.append(F.col("gid").alias("g"))
         keys.append("g")
     projected = out.select(*cols)

@@ -359,7 +359,8 @@ ORACLES = {
     (SELECT sum(CASE WHEN section = 'SH' THEN 1 ELSE 0 END)::BIGINT AS n_shared,
             sum(CASE WHEN section = 'S' THEN 1 ELSE 0 END)::BIGINT AS n_subjects_only,
             sum(CASE WHEN section = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_objects_only,
-            sum(CASE WHEN section = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_predicates
+            sum(CASE WHEN section = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_predicates,
+            sum(CASE WHEN section = 'G' THEN 1 ELSE 0 END)::BIGINT AS n_graphs
      FROM dict),
     (SELECT count(*) AS n_triples,
             count(DISTINCT s) AS n_distinct_subjects,
