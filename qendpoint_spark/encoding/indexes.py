@@ -36,16 +36,42 @@ def _range_sorted(df: DataFrame, cols: list[str], num_partitions: int | None) ->
     return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
 
 
+#: the reference's full set of component orders
+#: (core/enums/TripleComponentOrder.java:41-61)
+ORDERS = ("spo", "sop", "pso", "pos", "osp", "ops")
+
+
+def sorted_table(
+    triples_id: DataFrame, order: str = "spo", num_partitions: int | None = None
+) -> DataFrame:
+    """Materialize any of the six component orders as a globally sorted
+    (range-partitioned) table — the generic analog of the reference's
+    alternate-order index files (BitmapTriplesIndexFile.java:160-260).
+    Column order in the output follows the sort order, so the leading
+    sort key is the table's pruning key."""
+    if order not in ORDERS:
+        raise ValueError(f"unknown order {order!r}; expected one of {ORDERS}")
+    cols = list(order)
+    return _range_sorted(triples_id.select(*cols), cols, num_partitions)
+
+
 def spo_table(triples_id: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Globally SPO-sorted (range-partitioned) triple table."""
-    return _range_sorted(triples_id.select("s", "p", "o"), ["s", "p", "o"], num_partitions)
+    return sorted_table(triples_id, "spo", num_partitions)
 
 
 def ops_table(triples_id: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Same rows re-sorted (o,p,s) — the FOQ/OPS index as a table."""
-    return _range_sorted(
-        triples_id.select("o", "p", "s"), ["o", "p", "s"], num_partitions
-    )
+    return sorted_table(triples_id, "ops", num_partitions)
+
+
+def pso_table(triples_id: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """PSO-sorted table: the ?P? / ?PS access path. The reference
+    builds a dedicated predicate index for exactly this access
+    (PredicateIndexArray.java:72-150); here the leading-p sort makes a
+    bound-predicate filter a contiguous range -> Parquet row-group
+    pruning does the seek."""
+    return sorted_table(triples_id, "pso", num_partitions)
 
 
 def predicate_index(triples_id: DataFrame) -> DataFrame:

@@ -154,14 +154,16 @@ def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """?P? pattern scan via the access-path planner: p = the
-    'mentions' predicate (id 3 — P section sorted: label<lang<
-    mentions<nchars<source, stable across SFs)."""
-    from qendpoint_spark.encoding import ops_table, spo_table
+    """?P? pattern scan via the access-path planner — routed to the
+    PSO-sorted table so the bound predicate is the LEADING sort key
+    (pruned scan, PredicateIndexArray analog): p = the 'mentions'
+    predicate (id 3 — P section sorted: label<lang<mentions<nchars<
+    source, stable across SFs)."""
+    from qendpoint_spark.encoding import ops_table, pso_table, spo_table
     from qendpoint_spark.plans import scan_pattern
 
     enc = _enc(spark, sf_dir)
-    return scan_pattern(spo_table(enc), ops_table(enc), p=3)
+    return scan_pattern(spo_table(enc), ops_table(enc), p=3, pso=pso_table(enc))
 
 
 def q_kg_pattern_scan_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,11 +176,23 @@ def q_kg_pattern_scan_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_pattern(spo_table(enc), ops_table(enc), o=1)
 
 
+def q_kg_pattern_scan_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP? pattern via the SPO table: s = 1 (binary-smallest shared
+    term — an entity subject), p = 1 ('label', the only predicate on
+    entity subjects)."""
+    from qendpoint_spark.encoding import ops_table, spo_table
+    from qendpoint_spark.plans import scan_pattern
+
+    enc = _enc(spark, sf_dir)
+    return scan_pattern(spo_table(enc), ops_table(enc), s=1, p=1)
+
+
 QUERIES = {
     "kg_extract_triples": q_kg_extract,
     "kg_quads_encode": q_kg_quads,
     "kg_pattern_scan_p": q_kg_pattern_scan,
     "kg_pattern_scan_o": q_kg_pattern_scan_obj,
+    "kg_pattern_scan_sp": q_kg_pattern_scan_sp,
     "kg_header": q_kg_header,
     "kg_ntriples_export": q_kg_ntriples,
     "kg_datatype_sections": q_kg_datatype_sections,
@@ -350,6 +364,8 @@ ORACLES = {
     FROM lcps""",
     "kg_pattern_scan_p": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE p = 3",
     "kg_pattern_scan_o": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE o = 1",
+    "kg_pattern_scan_sp": _KG_PRELUDE
+    + "SELECT s, p, o FROM enc WHERE s = 1 AND p = 1",
     "kg_header": _KG_PRELUDE
     + """
     SELECT * FROM

@@ -31,6 +31,7 @@ from qendpoint_spark.encoding import (
     object_index,
     ops_table,
     predicate_index,
+    pso_table,
     spo_table,
 )
 from qendpoint_spark.extraction import (
@@ -61,6 +62,7 @@ def run_pipeline(
     source_fingerprint: str = "",
     num_partitions: int | None = None,
     with_stats: bool = True,
+    with_pso: bool = False,
     force: bool = False,
     alias_dict: DataFrame | None = None,
     sameas: DataFrame | None = None,
@@ -199,6 +201,23 @@ def run_pipeline(
             force=force,
         )
     report.stages.append(res)
+
+    # S4b optional PSO materialize (?P? / ?PS access path) -------------------
+    if with_pso:
+        fp3b = _fingerprint(fp2, "pso", str(report.n_triples))
+        lin = catalog.lineage("triples_pso")
+        if lin is not None and lin.get("input_fingerprint") == fp3b and not force:
+            res = StageResult("triples_pso", catalog.table_path("triples_pso"),
+                              lin["row_count"], lin["wall_ms"], True)
+        else:
+            res = catalog.write_stage(
+                "triples_pso",
+                pso_table(triples_spo, num_partitions=num_partitions),
+                fp3b,
+                sort_cols=["p", "s", "o"],
+                force=force,
+            )
+        report.stages.append(res)
 
     # S5 stats + header ----------------------------------------------------
     if with_stats:

@@ -4,14 +4,14 @@ The reference picks the best index order per pattern mask
 (BitmapTriples.search, core/triples/impl/BitmapTriples.java:303-378;
 order masks core/enums/TripleComponentOrder.java:41-61): bound-subject
 patterns walk the SPO structure, ?PO/??O use the FOQ/OPS index, ?P?
-the predicate index, and the rest fall back to a filtered sequential
-scan. Here the "indexes" are the SPO- and OPS-sorted tables: choosing
-a table + pushing the equality filters gives Parquet min/max row-group
-pruning on the leading sort key — the same leading-component range
-location rank/select provides in HDT (AdjacencyList.java), done by the
-columnar reader instead.
+the predicate index (PredicateIndexArray.java:72-150). Here the
+"indexes" are the SPO-, OPS- and PSO-sorted tables: choosing a table +
+pushing the equality filters gives Parquet min/max row-group pruning
+on the leading sort key — the same leading-component range location
+rank/select provides in HDT (AdjacencyList.java), done by the columnar
+reader instead.
 
-This is the whole planner: ~15 lines, as SURVEY.md §4.1 predicted —
+This is the whole planner: ~20 lines, as SURVEY.md §4.1 predicted —
 everything else (pushdown, pruning, codegen) is Catalyst.
 """
 
@@ -22,12 +22,15 @@ from pyspark.sql import functions as F
 
 
 def choose_order(s: int | None, p: int | None, o: int | None) -> str:
-    """Pattern mask -> table (sort order) choice."""
+    """Pattern mask -> table (sort order) choice: route to the table
+    whose LEADING sort key is bound, so the pushed filter prunes."""
     if s is not None:
         return "spo"  # S??, SP?, SPO, S?O: leading subject prunes SPO
     if o is not None:
         return "ops"  # ?PO, ??O: leading object prunes OPS
-    return "spo"  # ?P?, ???: sequential scan; predicate_index gives stats
+    if p is not None:
+        return "pso"  # ?P?: leading predicate prunes PSO
+    return "spo"  # ???: sequential scan; predicate_index gives stats
 
 
 def scan_pattern(
@@ -36,10 +39,16 @@ def scan_pattern(
     s: int | None = None,
     p: int | None = None,
     o: int | None = None,
+    pso: DataFrame | None = None,
 ) -> DataFrame:
-    """Return matching (s,p,o) rows using the best-sorted table."""
+    """Return matching (s,p,o) rows using the best-sorted table.
+    Without a PSO materialization, ?P? degrades to a filtered SPO scan
+    (correct, unpruned — the reference has the same fallback when an
+    alternate-order index was not generated)."""
     order = choose_order(s, p, o)
-    df = spo if order == "spo" else ops
+    if order == "pso" and pso is None:
+        order = "spo"
+    df = {"spo": spo, "ops": ops, "pso": pso}[order]
     for col, val in (("s", s), ("p", p), ("o", o)):
         if val is not None:
             df = df.filter(F.col(col) == val)

@@ -18,7 +18,7 @@ from qendpoint_spark.dictionary import build_dictionary
 from qendpoint_spark.encoding import encode_triples
 from qendpoint_spark.extraction import extract_triples_from_documents
 from qendpoint_spark.pipeline import run_pipeline
-from qendpoint_spark.plans import scan_pattern
+from qendpoint_spark.plans import choose_order, scan_pattern
 
 
 def _plan(df) -> str:
@@ -33,10 +33,11 @@ def test_pattern_scan_pushdown(spark, tmp_path):
     pages = generate_pages(spark, 80, seed=9).cache()
     cat = Catalog(spark, str(tmp_path / "wh"))
     run_pipeline(spark, cat, source_df=pages, source_kind="pages",
-                 source_fingerprint="plans", num_partitions=4)
+                 source_fingerprint="plans", num_partitions=4, with_pso=True)
     spo = cat.read("triples_spo")
     ops = cat.read("triples_ops")
-    q = scan_pattern(spo, ops, s=3, p=1)
+    pso = cat.read("triples_pso")
+    q = scan_pattern(spo, ops, s=3, p=1, pso=pso)
     plan = _plan(q)
     assert "PushedFilters" in plan
     assert "EqualTo(s,3)" in plan and "EqualTo(p,1)" in plan
@@ -45,6 +46,26 @@ def test_pattern_scan_pushdown(spark, tmp_path):
     pplan = _plan(proj)
     rs = [ln for ln in pplan.splitlines() if "ReadSchema" in ln]
     assert rs and "o:" not in rs[0]
+    # ?P? routes to the PSO table (ReadSchema leads with p: the scan's
+    # leading sort key) and pushes the leading-key filter
+    qp = scan_pattern(spo, ops, p=1, pso=pso)
+    pplan = _plan(qp)
+    assert "struct<p:bigint,s:bigint,o:bigint>" in pplan
+    assert "EqualTo(p,1)" in pplan
+    # rows identical to the unrouted fallback scan (which reads SPO)
+    fallback = scan_pattern(spo, ops, p=1)
+    assert "struct<s:bigint,p:bigint,o:bigint>" in _plan(fallback)
+    assert qp.exceptAll(fallback).count() == 0
+    assert fallback.exceptAll(qp).count() == 0
+
+
+def test_choose_order_routing():
+    assert choose_order(1, None, None) == "spo"
+    assert choose_order(1, 2, 3) == "spo"
+    assert choose_order(None, 2, 3) == "ops"
+    assert choose_order(None, None, 3) == "ops"
+    assert choose_order(None, 2, None) == "pso"
+    assert choose_order(None, None, None) == "spo"
 
 
 def test_encode_broadcasts_predicate_map(spark, documents):
