@@ -80,4 +80,10 @@ def zip_with_rank(
         )
         .drop("__pid", "__mid", "__min_mid", "__offset")
     )
+    # materialize, then release the persisted intermediate: callers run
+    # many builds in one session and un-unpersisted blocks accumulate.
+    # localCheckpoint also cuts the plan, keeping AQE re-optimization
+    # cost flat when builds compose (merge/diff/CC loops).
+    ranked = ranked.localCheckpoint(eager=True)
+    part.unpersist()
     return ranked

@@ -187,6 +187,46 @@ def q_kg_pattern_scan_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_pattern(spo_table(enc), ops_table(enc), s=1, p=1)
 
 
+def q_kg_cat_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-cat identity through the REAL merge path (merge/kcat.py):
+    split the corpus on doc_id parity, run extract -> dictionary ->
+    encode independently per half (separate ID spaces!), then KCat-merge
+    the two encoded datasets. The oracle encodes the full corpus
+    directly — identical output proves decode/remap/re-rank round-trip
+    exactly (the reference's HDTManagerTest.java:196-266 fixture
+    identity, example1.nt + example2.nt == example1+2.nt)."""
+    from qendpoint_spark.merge import merge_datasets
+
+    docs = _docs(spark, sf_dir)
+    halves = []
+    for par in (0, 1):
+        tri = extract_triples_from_documents(
+            docs.filter(F.col("doc_id") % 2 == par)
+        ).localCheckpoint(eager=True)
+        d = build_dictionary(tri).localCheckpoint(eager=True)
+        halves.append((encode_triples(tri, d), d))
+    _, merged_triples, _ = merge_datasets(halves)
+    return merged_triples
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDTDiff through the real diff path: subtract the triples
+    extracted from the doc_id % 7 == 0 documents, rebuild dictionary +
+    encoding over the survivors (per-section re-rank). Note shared
+    terms (entity labels mentioned by surviving docs too) correctly
+    survive the subtraction — the delete set is a TRIPLE set, not a
+    document set."""
+    from qendpoint_spark.merge import diff_datasets
+
+    docs = _docs(spark, sf_dir)
+    tri = _triples(spark, sf_dir)
+    del_tri = extract_triples_from_documents(
+        docs.filter(F.col("doc_id") % 7 == 0)
+    )
+    _, new_enc = diff_datasets(tri, del_tri)
+    return new_enc
+
+
 QUERIES = {
     "kg_extract_triples": q_kg_extract,
     "kg_quads_encode": q_kg_quads,
@@ -205,48 +245,59 @@ QUERIES = {
     "kg_object_index": q_kg_object_index,
     "kg_decode_roundtrip": q_kg_decode_roundtrip,
     "kg_shared_section": q_kg_shared_section,
+    "kg_cat_identity": q_kg_cat_identity,
+    "kg_diff": q_kg_diff,
 }
 
 # ---------------------------------------------------------------- oracles
 
-_KG_PRELUDE = """
-WITH toks AS (
+def _triples_cte(name: str, where: str = "") -> str:
+    """The extraction grammar (extraction/triples.py) as SQL, over an
+    optionally filtered documents set — shared by the main prelude and
+    the merge/diff oracles so the grammar can never diverge."""
+    w = f" WHERE {where}" if where else ""
+    return f"""{name}_toks AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
-    FROM documents
+    FROM documents{w}
   ) WHERE length(tok) >= 4
 ),
-triples AS (
+{name} AS (
   SELECT DISTINCT s, p, o FROM (
     SELECT 'http://example.org/doc/' || doc_id AS s,
            'http://example.org/prop/lang' AS p,
            '"' || lang || '"@' || lang AS o
-    FROM documents
+    FROM documents{w}
     UNION ALL
     SELECT 'http://example.org/doc/' || doc_id,
            'http://example.org/prop/source',
            '"' || source || '"'
-    FROM documents
+    FROM documents{w}
     UNION ALL
     SELECT 'http://example.org/doc/' || doc_id,
            'http://example.org/prop/nchars',
            '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
-    FROM documents
+    FROM documents{w}
     UNION ALL
     SELECT 'http://example.org/doc/' || doc_id,
            'http://example.org/prop/mentions',
            'http://example.org/ent/' || tok
-    FROM toks
+    FROM {name}_toks
     UNION ALL
     SELECT DISTINCT 'http://example.org/ent/' || tok,
            'http://example.org/prop/label',
            '"' || tok || '"'
-    FROM toks
+    FROM {name}_toks
   )
-),
-subs AS (SELECT DISTINCT s AS term FROM triples),
-objs AS (SELECT DISTINCT o AS term FROM triples),
-preds AS (SELECT DISTINCT p AS term FROM triples),
+)"""
+
+
+def _dict_enc_cte(triples: str) -> str:
+    """Four-section dictionary + encode (SURVEY §1.3 ID algebra) over a
+    named (s,p,o) CTE."""
+    return f"""subs AS (SELECT DISTINCT s AS term FROM {triples}),
+objs AS (SELECT DISTINCT o AS term FROM {triples}),
+preds AS (SELECT DISTINCT p AS term FROM {triples}),
 sh AS (SELECT term FROM subs INTERSECT SELECT term FROM objs),
 sonly AS (SELECT term FROM subs EXCEPT SELECT term FROM objs),
 oonly AS (SELECT term FROM objs EXCEPT SELECT term FROM subs),
@@ -277,12 +328,38 @@ pmap AS (SELECT term, id AS pid FROM dict WHERE section = 'P'),
 omap AS (SELECT term, id AS oid FROM dict WHERE section IN ('SH','O')),
 enc AS (
   SELECT DISTINCT sm.sid AS s, pm.pid AS p, om.oid AS o
-  FROM triples t
+  FROM {triples} t
   JOIN smap sm ON t.s = sm.term
   JOIN pmap pm ON t.p = pm.term
   JOIN omap om ON t.o = om.term
 )
 """
+
+
+_KG_PRELUDE = "\nWITH " + _triples_cte("triples") + ",\n" + _dict_enc_cte("triples")
+
+# golden-cat identity: encode(A) ++ encode(B) re-merged == encode(A ∪ B)
+# (the reference's own flagship merge test, HDTManagerTest.java:196-266,
+# example1.nt + example2.nt == example1+2.nt) — the extraction grammar
+# is per-document + global distinct, so the full-corpus prelude IS the
+# merged truth.
+_CAT_ORACLE = _KG_PRELUDE + "SELECT s, p, o FROM enc"
+
+_DIFF_ORACLE = (
+    "\nWITH "
+    + _triples_cte("triples_all")
+    + ",\n"
+    + _triples_cte("triples_del", "doc_id % 7 = 0")
+    + """,
+survivors AS (
+  SELECT s, p, o FROM triples_all
+  EXCEPT
+  SELECT s, p, o FROM triples_del
+),
+"""
+    + _dict_enc_cte("survivors")
+    + "SELECT s, p, o FROM enc"
+)
 
 _QUAD_ORACLE = """
 WITH quads AS (
@@ -429,4 +506,6 @@ ORACLES = {
     "kg_decode_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_shared_section": _KG_PRELUDE
     + "SELECT term, id FROM dict WHERE section = 'SH'",
+    "kg_cat_identity": _CAT_ORACLE,
+    "kg_diff": _DIFF_ORACLE,
 }

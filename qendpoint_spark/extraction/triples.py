@@ -96,7 +96,12 @@ def _mention_triples(keyed: DataFrame, use_udf: bool = False) -> DataFrame:
     # shuffle moves short token strings instead of full assembled triple
     # rows. A global distinct() over the final triples would shuffle
     # ~5x the bytes for the same result (measured 2-3x slower e2e).
-    toks = toks.dropDuplicates(["doc_iri", "tok"]).persist()
+    # eager localCheckpoint (not persist): materialized once for the two
+    # consumers below, plan is cut, and the blocks are released by the
+    # ContextCleaner when the frame is dropped — a bare .persist() here
+    # accumulated never-unpersisted blocks across repeated builds in one
+    # long-lived session.
+    toks = toks.dropDuplicates(["doc_iri", "tok"]).localCheckpoint(eager=True)
     mentions = toks.select(
         F.col("doc_iri").alias("s"),
         F.lit(P_MENTIONS).alias("p"),

@@ -42,7 +42,23 @@ def merge_datasets(
     the per-input (section, old_id, new_id) map — the analog of
     KCatMerger's SyncSeq arrays, derivable because term strings are the
     join key between old and new dictionaries.
+
+    Quad datasets are REJECTED: decode_triples drops a `g` column and
+    by_space has no graph space, so silently merging would lose graph
+    terms (reference KCat is triples-only too; merge per-graph or
+    extend by_space with a 'graph' space first).
     """
+    for i, (t, d) in enumerate(inputs):
+        if "g" in t.columns:
+            raise ValueError(
+                f"merge_datasets: input {i} has a graph column; quad "
+                "datasets are not supported — merge per-graph instead"
+            )
+        if d.filter(F.col("section") == "G").limit(1).count() > 0:
+            raise ValueError(
+                f"merge_datasets: input {i}'s dictionary has a G "
+                "section; quad datasets are not supported"
+            )
     strs = [decode_triples(t, d) for t, d in inputs]
     union = strs[0]
     for s in strs[1:]:
@@ -105,10 +121,13 @@ def diff_datasets(
     survivors (the reference's per-section entry diff == re-ranking the
     surviving terms; DictionaryDiff.java).
 
-    Returns (new_dict, new_triples_id).
+    Returns (new_dict, new_triples_id). Quad inputs diff on the full
+    (s,p,o,g) key — a deletion removes the statement from one graph
+    only, matching SPARQL DELETE DATA semantics over named graphs.
     """
+    keys = ["s", "p", "o"] + (["g"] if "g" in triples_str.columns else [])
     survivors = triples_str.join(
-        delete_triples_str.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+        delete_triples_str.select(*keys), keys, "left_anti"
     ).localCheckpoint(eager=True)  # stage boundary; feeds dict + encode
     new_dict = build_dictionary(survivors, num_partitions=num_partitions)
     return new_dict, encode_triples(survivors, new_dict)

@@ -67,14 +67,34 @@ def shingle_table(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 3, threshold: float = 0.5
+    documents: DataFrame, k: int = 3, threshold: float = 0.5,
+    max_df: int | None = 64,
 ) -> DataFrame:
     """Candidate pairs by inverted-index join + exact Jaccard filter.
-    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard).
+
+    max_df is the document-frequency cutoff on the inverted index: a
+    shingle occurring in more than max_df documents is dropped BEFORE
+    the self-join. Without it, one boilerplate shingle with df = 10^6
+    alone emits 5*10^11 candidate pairs — a skewed-key blowup AQE can
+    split but never shrink (the standard production-dedup guard; same
+    role as stop-shingle lists). Overlap counts then come from the
+    filtered index (common-only-via-hot-shingles pairs score lower —
+    conservative), while set sizes n_a/n_b stay exact over the full
+    shingle sets."""
     sh = shingle_table(documents, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    idx = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle", "left_semi")
+    a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

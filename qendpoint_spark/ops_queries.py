@@ -278,6 +278,57 @@ qv AS (
 )"""
 
 
+def _lsh_hyperplane_oracle(query_mod: int = 97, k: int = 5) -> str:
+    """SQL twin of similarity.lsh_bucketed_topk, generated from the
+    SAME hyperplane literals (multi-table sign-signature LSH; integer
+    projections -> exact signatures)."""
+    from qendpoint_spark.ops.similarity import HYPERPLANES, LSH_BITS, LSH_TABLES
+
+    hp_rows = ",\n    ".join(
+        f"({i // LSH_BITS}, {i % LSH_BITS}, [{', '.join(map(str, vec))}]::BIGINT[])"
+        for i, vec in enumerate(HYPERPLANES[: LSH_BITS * LSH_TABLES])
+    )
+    return f"""
+WITH {_QV},
+hp AS (
+  SELECT * FROM (VALUES
+    {hp_rows}
+  ) AS t(tbl, bit, hvec)
+),
+hd AS (
+  SELECT vec_id, tbl, bit, sum(x * y) AS d
+  FROM (SELECT v.vec_id, h.tbl, h.bit, unnest(v.q) AS x, unnest(h.hvec) AS y
+        FROM qv v CROSS JOIN hp h)
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         sum(CASE WHEN d >= 0 THEN (1 << bit) ELSE 0 END)::INTEGER AS bucket
+  FROM hd GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q
+  JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+                AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, sum(x * y)::BIGINT AS qdot
+  FROM (SELECT cd.query_id, cd.neighbor_id, unnest(vq.q) AS x, unnest(vn.q) AS y
+        FROM cand cd
+        JOIN qv vq ON vq.vec_id = cd.query_id
+        JOIN qv vn ON vn.vec_id = cd.neighbor_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, qdot FROM (
+  SELECT query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
 def _ivf_frozen_oracle(query_mod: int = 97, k: int = 5, nprobe: int = 2) -> str:
     """SQL twin of ivf_topk_frozen, built from the SAME centroid
     literals — integer distances make assignment/probe/top-k exact."""
@@ -394,9 +445,11 @@ FROM tk WHERE length(tok) > 0 GROUP BY doc_id""",
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -476,29 +529,7 @@ SELECT query_id, neighbor_id, rank, qdot FROM (
                             ORDER BY qdot DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5""",
-    "sim_topk_lsh": f"""
-WITH {_QV},
-qb AS (
-  SELECT vec_id, q,
-         (CASE WHEN q[1] >= 0 THEN 2 ELSE 0 END
-          + CASE WHEN q[2] >= 0 THEN 1 ELSE 0 END)::INTEGER AS bucket
-  FROM qv
-),
-queries AS (SELECT vec_id AS query_id, q AS qq, bucket FROM qb WHERE vec_id % 97 = 0),
-scored AS (
-  SELECT bucket, query_id, neighbor_id, sum(x * y)::BIGINT AS qdot
-  FROM (SELECT qs.bucket, qs.query_id, c.vec_id AS neighbor_id,
-               unnest(qs.qq) AS x, unnest(c.q) AS y
-        FROM queries qs JOIN qb c
-          ON c.bucket = qs.bucket AND c.vec_id <> qs.query_id)
-  GROUP BY 1, 2, 3
-)
-SELECT query_id, bucket, neighbor_id, rank, qdot FROM (
-  SELECT bucket, query_id, neighbor_id, qdot,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY qdot DESC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= 5""",
+    "sim_topk_lsh": _lsh_hyperplane_oracle(query_mod=97, k=5),
     "sim_topk_ivf": _ivf_frozen_oracle(query_mod=97, k=5, nprobe=2),
     "multimodal_features": """
 WITH assets AS (
@@ -585,9 +616,11 @@ sig AS (
   FROM sh GROUP BY doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+shx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 exact AS (

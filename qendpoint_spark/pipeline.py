@@ -17,6 +17,7 @@ mirroring the reference's persisted restart step
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -54,6 +55,21 @@ def _fingerprint(*parts: str) -> str:
     return hashlib.sha256("||".join(parts).encode()).hexdigest()[:16]
 
 
+def _resume(catalog: Catalog, name: str, fp: str) -> StageResult | None:
+    """StageResult for a committed, fingerprint-matching stage whose
+    table still EXISTS on disk — lineage alone is not enough (a deleted
+    table directory with a surviving _lineage_*.json must trigger a
+    rebuild, mirroring Catalog.write_stage's own existence check)."""
+    lin = catalog.lineage(name)
+    if lin is None or lin.get("input_fingerprint") != fp:
+        return None
+    if not os.path.exists(catalog.table_path(name)):
+        return None
+    return StageResult(
+        name, catalog.table_path(name), lin["row_count"], lin["wall_ms"], True
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     catalog: Catalog,
@@ -88,23 +104,16 @@ def run_pipeline(
     fp0 = _fingerprint(source_kind, source_fingerprint)
 
     # S1 extract ----------------------------------------------------------
-    if catalog.lineage("triples_str") is None or force or (
-        catalog.lineage("triples_str").get("input_fingerprint") != fp0
-    ):
+    res = None if force else _resume(catalog, "triples_str", fp0)
+    if res is None:
         extractor = (
             extract_triples_from_documents
             if source_kind == "documents"
             else extract_triples_from_pages
         )
-        triples_str = extractor(source_df)
-    else:
-        triples_str = None  # resume path reads committed table
-    if triples_str is not None:
-        res = catalog.write_stage("triples_str", triples_str, fp0, force=force)
-    else:
-        lin = catalog.lineage("triples_str")
-        res = StageResult("triples_str", catalog.table_path("triples_str"),
-                          lin["row_count"], lin["wall_ms"], True)
+        res = catalog.write_stage(
+            "triples_str", extractor(source_df), fp0, force=force
+        )
     report.stages.append(res)
     triples_str = catalog.read("triples_str")
 
@@ -114,12 +123,9 @@ def run_pipeline(
         from qendpoint_spark.linking import link_mentions
 
         fp_l = _fingerprint(fp0, "link", str(res.rows))
-        lin = catalog.lineage("linked_mentions")
-        if lin is not None and lin.get("input_fingerprint") == fp_l and not force:
-            report.stages.append(
-                StageResult("linked_mentions", catalog.table_path("linked_mentions"),
-                            lin["row_count"], lin["wall_ms"], True)
-            )
+        res_l = None if force else _resume(catalog, "linked_mentions", fp_l)
+        if res_l is not None:
+            report.stages.append(res_l)
         else:
             prefix_len = len(BASE + "ent/")
             mentions = (
@@ -139,11 +145,8 @@ def run_pipeline(
         from qendpoint_spark.linking import canonicalize_triples
 
         fp_c = _fingerprint(fp0, "canon", str(res.rows))
-        lin = catalog.lineage("triples_canon")
-        if lin is not None and lin.get("input_fingerprint") == fp_c and not force:
-            res = StageResult("triples_canon", catalog.table_path("triples_canon"),
-                              lin["row_count"], lin["wall_ms"], True)
-        else:
+        res = None if force else _resume(catalog, "triples_canon", fp_c)
+        if res is None:
             canon = canonicalize_triples(triples_str, sameas)
             res = catalog.write_stage("triples_canon", canon, fp_c, force=force)
         report.stages.append(res)
@@ -151,11 +154,8 @@ def run_pipeline(
 
     # S2 dictionary ---------------------------------------------------------
     fp1 = _fingerprint(fp0, "dict", str(res.rows))
-    lin = catalog.lineage("dict_terms")
-    if lin is not None and lin.get("input_fingerprint") == fp1 and not force:
-        res = StageResult("dict_terms", catalog.table_path("dict_terms"),
-                          lin["row_count"], lin["wall_ms"], True)
-    else:
+    res = None if force else _resume(catalog, "dict_terms", fp1)
+    if res is None:
         dict_terms = build_dictionary(triples_str, num_partitions=num_partitions)
         # physical layout mirrors the reference's per-section files (and
         # the MSD per-datatype split pattern): one partition directory
@@ -168,11 +168,8 @@ def run_pipeline(
 
     # S3 encode + SPO materialize -----------------------------------------
     fp2 = _fingerprint(fp1, "encode", str(res.rows))
-    lin = catalog.lineage("triples_spo")
-    if lin is not None and lin.get("input_fingerprint") == fp2 and not force:
-        res = StageResult("triples_spo", catalog.table_path("triples_spo"),
-                          lin["row_count"], lin["wall_ms"], True)
-    else:
+    res = None if force else _resume(catalog, "triples_spo", fp2)
+    if res is None:
         # the extraction stage emits distinct triples by construction
         enc = encode_triples(triples_str, dict_terms, assume_distinct=True)
         res = catalog.write_stage(
@@ -188,11 +185,8 @@ def run_pipeline(
 
     # S4 OPS materialize ----------------------------------------------------
     fp3 = _fingerprint(fp2, "ops", str(res.rows))
-    lin = catalog.lineage("triples_ops")
-    if lin is not None and lin.get("input_fingerprint") == fp3 and not force:
-        res = StageResult("triples_ops", catalog.table_path("triples_ops"),
-                          lin["row_count"], lin["wall_ms"], True)
-    else:
+    res = None if force else _resume(catalog, "triples_ops", fp3)
+    if res is None:
         res = catalog.write_stage(
             "triples_ops",
             ops_table(triples_spo, num_partitions=num_partitions),
@@ -205,11 +199,8 @@ def run_pipeline(
     # S4b optional PSO materialize (?P? / ?PS access path) -------------------
     if with_pso:
         fp3b = _fingerprint(fp2, "pso", str(report.n_triples))
-        lin = catalog.lineage("triples_pso")
-        if lin is not None and lin.get("input_fingerprint") == fp3b and not force:
-            res = StageResult("triples_pso", catalog.table_path("triples_pso"),
-                              lin["row_count"], lin["wall_ms"], True)
-        else:
+        res = None if force else _resume(catalog, "triples_pso", fp3b)
+        if res is None:
             res = catalog.write_stage(
                 "triples_pso",
                 pso_table(triples_spo, num_partitions=num_partitions),
@@ -232,11 +223,8 @@ def run_pipeline(
                 ),
             ),
         ):
-            lin = catalog.lineage(name)
-            if lin is not None and lin.get("input_fingerprint") == fp4 and not force:
-                res = StageResult(name, catalog.table_path(name),
-                                  lin["row_count"], lin["wall_ms"], True)
-            else:
+            res = None if force else _resume(catalog, name, fp4)
+            if res is None:
                 res = catalog.write_stage(name, fn(triples_spo), fp4, force=force)
             report.stages.append(res)
 

@@ -65,7 +65,12 @@ def stream_first_seen_pages(
     )
 
     def per_batch(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
+        # deterministic per-batch path + overwrite => replay-idempotent:
+        # if the stream's commit fails after a partial write, the
+        # replayed batch overwrites the same directory instead of
+        # double-appending (a bare mode("append") would re-emit urls on
+        # replay, breaking the exactly-once contract)
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}")
 
     q = (
         deduped.writeStream.outputMode("update")
@@ -75,3 +80,12 @@ def stream_first_seen_pages(
         .start()
     )
     q.awaitTermination()
+
+
+def read_first_seen(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the first-seen sink (one subdirectory per micro-batch)."""
+    return (
+        spark.read.schema(FIRST_SEEN_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+    )

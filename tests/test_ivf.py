@@ -63,3 +63,16 @@ def test_ivf_recall_vs_exact(spark, embeddings):
         rs.sort()
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         assert [x[1] for x in rs] == sorted(x[1] for x in rs)
+
+
+def test_ivf_frozen_lists_partitioned_by_cid(spark, embeddings):
+    """The frozen-serving path must co-locate inverted lists by
+    centroid id (at rest: a cid-partitioned table; in-plan: a
+    hashpartitioning(cid) exchange feeding the probe join)."""
+    from qendpoint_spark.ops.ivf import ivf_topk_frozen
+
+    out = ivf_topk_frozen(embeddings, query_mod=11, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(cid" in plan
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)

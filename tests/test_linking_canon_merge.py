@@ -141,3 +141,26 @@ def test_diff(spark, documents):
     assert sorted(tuple(r) for r in new_enc.collect()) == sorted(
         tuple(r) for r in exp_enc.collect()
     )
+
+
+def test_merge_rejects_quads(spark):
+    import pytest
+
+    quads = spark.createDataFrame(
+        [Row(s="http://x/s", p="http://x/p", o='"v"', g="http://x/g")]
+    )
+    qdict = build_dictionary(quads)
+    enc = encode_triples(quads, qdict)
+    with pytest.raises(ValueError, match="quad"):
+        merge_datasets([(enc, qdict), (enc, qdict)])
+
+
+def test_diff_quads_match_on_graph(spark):
+    rows = [
+        Row(s="http://x/s", p="http://x/p", o='"v"', g="http://x/g1"),
+        Row(s="http://x/s", p="http://x/p", o='"v"', g="http://x/g2"),
+    ]
+    quads = spark.createDataFrame(rows)
+    # deleting the g1 statement must keep the identical triple in g2
+    _, new_enc = diff_datasets(quads, spark.createDataFrame([rows[0]]))
+    assert new_enc.count() == 1

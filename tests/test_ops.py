@@ -75,10 +75,47 @@ def test_similarity_topk(spark, embeddings):
         dots = [r.qdot for r in sorted(rs, key=lambda r: r.rank)]
         assert dots == sorted(dots, reverse=True)
         assert all(r.neighbor_id != q for r in rs)
-    # LSH variant returns a subset ranking within the bucket
+    # LSH variant: subset ranking within the union of signature buckets
     lsh = lsh_bucketed_topk(embeddings, query_mod=97, k=5)
-    assert lsh.count() <= bf.count() + lsh.filter(F.lit(False)).count() + 10**9  # same shape
-    assert set(lsh.columns) == {"query_id", "bucket", "neighbor_id", "rank", "qdot"}
+    assert set(lsh.columns) == {"query_id", "neighbor_id", "rank", "qdot"}
+    lrows = lsh.collect()
+    by_ql = {}
+    for r in lrows:
+        by_ql.setdefault(r.query_id, []).append(r)
+    for q, rs in by_ql.items():
+        dots = [r.qdot for r in sorted(rs, key=lambda r: r.rank)]
+        assert dots == sorted(dots, reverse=True)
+
+
+def test_lsh_recall_vs_bruteforce(spark, embeddings):
+    """Multi-table hyperplane LSH must recover a solid fraction of the
+    true top-5 at 2 tables x 4 bits (random-hyperplane collision rate
+    for similar vectors is high by construction)."""
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(embeddings, query_mod=31, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in lsh_bucketed_topk(embeddings, query_mod=31, k=5).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
+
+
+def test_jaccard_df_cutoff_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by EVERY doc must not make the
+    candidate join quadratic: with the df cutoff the candidate pair
+    count stays at the true near-dup pairs, not O(n^2)."""
+    boiler = "subscribe to our newsletter"
+    n = 60
+    rows = [f"{boiler} unique{i} filler{i} words{i} here{i}" for i in range(n)]
+    rows[1] = rows[0].replace("here0", "there0")  # one planted near-dup
+    docs = _docs(spark, rows)
+    capped = ngram_jaccard_pairs(docs, k=3, threshold=0.2, max_df=8)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (0, 1) in pairs
+    # without the cutoff the hot shingles generate ~n^2/2 candidates;
+    # with it the surviving candidate set is tiny
+    assert len(pairs) < 10
+    uncapped = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_df=None)
+    assert uncapped.count() >= n * (n - 1) / 2  # quadratic blowup exists
 
 
 def test_multimodal_plumbing(spark, documents):

@@ -6,7 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from qendpoint_spark.datagen import generate_pages
-from qendpoint_spark.streaming.stateful import stream_first_seen_pages
+from qendpoint_spark.streaming.stateful import (
+    read_first_seen,
+    stream_first_seen_pages,
+)
 
 
 def test_first_seen_across_restarts(spark, tmp_path):
@@ -21,7 +24,7 @@ def test_first_seen_across_restarts(spark, tmp_path):
     p1 = pages.filter(F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") < 40)
     p1.write.parquet(f"{landing}/d1.parquet")
     stream_first_seen_pages(spark, landing, out, ckpt)
-    got1 = spark.read.parquet(out)
+    got1 = read_first_seen(spark, out)
     assert got1.count() == got1.select("url").distinct().count() == 40
     # recrawled urls report n_seen >= 2 and keep the EARLIEST crawl
     multi = got1.filter(F.col("n_seen") >= 2)
@@ -31,7 +34,7 @@ def test_first_seen_across_restarts(spark, tmp_path):
     p2 = pages.filter(F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") >= 20)
     p2.write.parquet(f"{landing}/d2.parquet")
     stream_first_seen_pages(spark, landing, out, ckpt)
-    got2 = spark.read.parquet(out)
+    got2 = read_first_seen(spark, out)
     # only the 20 genuinely-new urls were emitted the second time
     assert got2.count() == 60
     assert got2.select("url").distinct().count() == 60
