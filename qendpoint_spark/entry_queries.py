@@ -127,7 +127,22 @@ def q_kg_pfc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_datatype_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_datatype(_dict(spark, sf_dir)).select(
+    """MSD layout roundtrip: the dictionary is WRITTEN partitioned by
+    (section, datatype) — the reference's typed object subsections
+    (MultipleSectionDictionary.java:51-60) as partition directories —
+    and read back, so the gate checks the physical layout, not just
+    the datatype computation. Datatype-scoped reads are file-pruned
+    (PartitionFilters assertion in tests/test_plans.py)."""
+    import hashlib
+    import os
+
+    msd = with_datatype(_dict(spark, sf_dir))
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    )
+    path = f"{scratch}/qs_msd_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    msd.write.mode("overwrite").partitionBy("section", "datatype").parquet(path)
+    return spark.read.parquet(path).select(
         "term", "section", "id", "kind", "datatype"
     )
 

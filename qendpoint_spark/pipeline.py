@@ -34,6 +34,7 @@ from qendpoint_spark.encoding import (
     predicate_index,
     pso_table,
     spo_table,
+    with_datatype,
 )
 from qendpoint_spark.extraction import (
     extract_triples_from_documents,
@@ -157,11 +158,17 @@ def run_pipeline(
     res = None if force else _resume(catalog, "dict_terms", fp1)
     if res is None:
         dict_terms = build_dictionary(triples_str, num_partitions=num_partitions)
-        # physical layout mirrors the reference's per-section files (and
-        # the MSD per-datatype split pattern): one partition directory
-        # per section, section-scoped reads prune at the file level
+        # MSD physical layout (MultipleSectionDictionary.java:51-60):
+        # one partition directory per (section, datatype) — the object
+        # sections split per literal datatype exactly as the reference's
+        # typed subsections, so a datatype- or section-scoped read is
+        # file-pruned (PartitionFilters, asserted in tests/test_plans.py)
         res = catalog.write_stage(
-            "dict_terms", dict_terms, fp1, force=force, partition_by=["section"]
+            "dict_terms",
+            with_datatype(dict_terms),
+            fp1,
+            force=force,
+            partition_by=["section", "datatype"],
         )
     report.stages.append(res)
     dict_terms = catalog.read("dict_terms")

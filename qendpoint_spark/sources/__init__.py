@@ -1,0 +1,3 @@
+from qendpoint_spark.sources.ntriples import read_ntriples
+
+__all__ = ["read_ntriples"]

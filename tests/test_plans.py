@@ -59,6 +59,27 @@ def test_pattern_scan_pushdown(spark, tmp_path):
     assert fallback.exceptAll(qp).count() == 0
 
 
+def test_msd_layout_prunes_files(spark, tmp_path):
+    """dict_terms is written partitioned by (section, datatype) — a
+    datatype-scoped read must hit PartitionFilters (file-level pruning),
+    the MSD typed-subsection access pattern."""
+    pages = generate_pages(spark, 60, seed=11).cache()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, cat, source_df=pages, source_kind="pages",
+                 source_fingerprint="msd", num_partitions=4)
+    d = cat.read("dict_terms")
+    assert {"kind", "datatype"} <= set(d.columns)
+    q = d.filter((F.col("section") == "O") & (F.col("datatype") == "NO_DATATYPE"))
+    plan = _plan(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "datatype" in pf[0] and "section" in pf[0]
+    # partition values survive the path encode/decode roundtrip
+    kinds = {r.kind for r in d.select("kind").distinct().collect()}
+    assert "ref" in kinds
+    # the encode path still works off the MSD-partitioned dictionary
+    assert cat.read("triples_spo").count() > 0
+
+
 def test_choose_order_routing():
     assert choose_order(1, None, None) == "spo"
     assert choose_order(1, 2, 3) == "spo"
