@@ -202,6 +202,51 @@ def q_kg_pattern_scan_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_pattern(spo_table(enc), ops_table(enc), s=1, p=1)
 
 
+def q_kg_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-pattern BGP (?doc mentions ?ent) ⋈ (?ent label ?label) through
+    the cardinality-driven planner: PatternStats (the predicate_index
+    stats the reference feeds its optimizer) picks the smaller pattern
+    first, leaves route through scan_pattern (PSO pruning for the
+    bound-predicate leaves)."""
+    from qendpoint_spark.encoding import (
+        ops_table,
+        predicate_index,
+        pso_table,
+        spo_table,
+    )
+    from qendpoint_spark.plans import PatternStats, scan_bgp
+
+    enc = _enc(spark, sf_dir)
+    stats = PatternStats(predicate_index(enc))
+    return scan_bgp(
+        spo_table(enc),
+        ops_table(enc),
+        [("doc", 3, "ent"), ("ent", 1, "label")],
+        stats=stats,
+        pso=pso_table(enc),
+    )
+
+
+def q_kg_ntriples_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source round-trip through TEXT: export the extracted
+    triples as N-Triples lines, re-parse them with read_ntriples
+    (RDFParserSimple analog), return the parsed set — the oracle is
+    the extraction grammar, so any export- or parse-side corruption
+    hash-fails."""
+    import hashlib
+    import os
+
+    from qendpoint_spark.encoding.header import export_ntriples
+    from qendpoint_spark.sources import read_ntriples
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    )
+    path = f"{scratch}/qs_nt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    export_ntriples(_triples(spark, sf_dir)).write.mode("overwrite").text(path)
+    return read_ntriples(spark, path)
+
+
 def q_kg_cat_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-cat identity through the REAL merge path (merge/kcat.py):
     split the corpus on doc_id parity, run extract -> dictionary ->
@@ -262,6 +307,8 @@ QUERIES = {
     "kg_shared_section": q_kg_shared_section,
     "kg_cat_identity": q_kg_cat_identity,
     "kg_diff": q_kg_diff,
+    "kg_bgp_join": q_kg_bgp_join,
+    "kg_ntriples_ingest": q_kg_ntriples_ingest,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -523,4 +570,10 @@ ORACLES = {
     + "SELECT term, id FROM dict WHERE section = 'SH'",
     "kg_cat_identity": _CAT_ORACLE,
     "kg_diff": _DIFF_ORACLE,
+    "kg_bgp_join": _KG_PRELUDE
+    + """
+    SELECT e1.s AS doc, e1.o AS ent, e2.o AS label
+    FROM enc e1 JOIN enc e2 ON e1.o = e2.s
+    WHERE e1.p = 3 AND e2.p = 1""",
+    "kg_ntriples_ingest": _KG_PRELUDE + "SELECT s, p, o FROM triples",
 }

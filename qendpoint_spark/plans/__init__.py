@@ -1,3 +1,8 @@
-from qendpoint_spark.plans.pattern import choose_order, scan_pattern
+from qendpoint_spark.plans.pattern import (
+    PatternStats,
+    choose_order,
+    scan_bgp,
+    scan_pattern,
+)
 
-__all__ = ["choose_order", "scan_pattern"]
+__all__ = ["PatternStats", "choose_order", "scan_bgp", "scan_pattern"]

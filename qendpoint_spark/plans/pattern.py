@@ -53,3 +53,101 @@ def scan_pattern(
         if val is not None:
             df = df.filter(F.col(col) == val)
     return df.select("s", "p", "o")
+
+
+# --- cardinality-driven BGP planning ------------------------------------
+#
+# The reference feeds per-predicate statistics into its query optimizer
+# (EndpointStoreEvaluationStatisticsHDT.java:11-61) so BGP join order
+# follows selectivity. Here the same stats table (encoding.indexes.
+# predicate_index) drives a greedy smallest-first join order; each leaf
+# is a routed scan_pattern, so leading-key pruning composes with the
+# ordering.
+
+
+class PatternStats:
+    """Cardinality estimates from the predicate_index stats table
+    (p, n_triples, n_subjects, n_objects, ...) — ≤|P| rows, collected
+    once; the per-predicate dicts are what the reference keeps in its
+    PredicateIndex-backed statistics object."""
+
+    def __init__(self, predicate_stats_df):
+        rows = predicate_stats_df.collect()
+        self.by_p = {r["p"]: r.asDict() for r in rows}
+        self.total = sum(r["n_triples"] for r in rows) or 1
+
+    def estimate(self, s, p, o) -> float:
+        """Expected matching rows for a triple pattern (None = free)."""
+        if p is not None and p in self.by_p:
+            st = self.by_p[p]
+            n, ns, no = st["n_triples"], st["n_subjects"], st["n_objects"]
+        elif p is not None:  # unknown predicate: matches nothing
+            return 0.0
+        else:
+            n, ns, no = self.total, self.total, self.total
+        card = float(n)
+        if s is not None:
+            card /= max(ns, 1)
+        if o is not None:
+            card /= max(no, 1)
+        return max(card, 1e-9)
+
+
+def scan_bgp(
+    spo,
+    ops,
+    patterns: list[tuple],
+    stats: PatternStats | None = None,
+    pso=None,
+) -> DataFrame:
+    """Execute a basic graph pattern: each pattern is an (s, p, o)
+    tuple whose elements are ints (bound) or strings (variable names).
+
+    Join order: greedy smallest-estimated-cardinality first, never
+    introducing a cartesian product while a connected pattern exists —
+    the textbook selectivity-driven BGP ordering, with Catalyst free to
+    pick broadcast/SMJ per join. Returns one column per variable.
+    """
+
+    def parts(pat):
+        return {k: v for k, v in zip("spo", pat)}
+
+    def bound(pat):
+        return {k: v for k, v in parts(pat).items() if not isinstance(v, str)}
+
+    def variables(pat):
+        return {v for v in pat if isinstance(v, str)}
+
+    def leaf(pat):
+        b = bound(pat)
+        df = scan_pattern(spo, ops, pso=pso, **b)
+        cols = [
+            F.col(k).alias(v)
+            for k, v in parts(pat).items()
+            if isinstance(v, str)
+        ]
+        return df.select(*cols)
+
+    remaining = list(patterns)
+    est = (
+        (lambda pat: stats.estimate(**{
+            k: (None if isinstance(v, str) else v)
+            for k, v in parts(pat).items()
+        }))
+        if stats is not None
+        else (lambda pat: 3 - len(variables(pat)))
+    )
+    remaining.sort(key=est)
+    first = remaining.pop(0)
+    out = leaf(first)
+    seen_vars = variables(first)
+    while remaining:
+        connected = [i for i, pat in enumerate(remaining)
+                     if variables(pat) & seen_vars]
+        idx = connected[0] if connected else 0
+        pat = remaining.pop(idx)
+        on = sorted(variables(pat) & seen_vars)
+        right = leaf(pat)
+        out = out.join(right, on) if on else out.crossJoin(right)
+        seen_vars |= variables(pat)
+    return out

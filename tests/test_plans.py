@@ -111,3 +111,31 @@ def test_extraction_stays_codegen(spark, documents):
     assert "*(" in plan
     # no row-at-a-time python eval in the documents path
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bgp_stats_ordering(spark, tmp_path):
+    """Cardinality-driven BGP: stats rank a selective pattern first and
+    the join result equals the unordered semantics."""
+    from qendpoint_spark.encoding import predicate_index
+    from qendpoint_spark.plans import PatternStats, scan_bgp
+
+    pages = generate_pages(spark, 60, seed=13).cache()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, cat, source_df=pages, source_kind="pages",
+                 source_fingerprint="bgp", num_partitions=4, with_pso=True)
+    spo = cat.read("triples_spo")
+    stats = PatternStats(predicate_index(spo))
+    # a fully-bound pattern estimates far below a predicate-only one
+    some_p = next(iter(stats.by_p))
+    assert stats.estimate(1, some_p, None) < stats.estimate(None, some_p, None)
+    # unknown predicate -> zero
+    assert stats.estimate(None, 10**9, None) == 0.0
+    patterns = [("doc", 3, "ent"), ("ent", 1, "label")]
+    got = scan_bgp(spo, cat.read("triples_ops"), patterns, stats=stats,
+                   pso=cat.read("triples_pso"))
+    ref = scan_bgp(spo, cat.read("triples_ops"), patterns, stats=None)
+    assert set(got.columns) == {"doc", "ent", "label"}
+    cols = sorted(got.columns)  # exceptAll is positional
+    g, r = got.select(*cols), ref.select(*cols)
+    assert g.exceptAll(r).count() == 0 and r.exceptAll(g).count() == 0
+    assert got.count() > 0
