@@ -141,6 +141,45 @@ def pfc_view(dict_terms: DataFrame, block_size: int = 16) -> DataFrame:
     )
 
 
+# --- PSFC variant (PSFCFourSectionDictionary analog) --------------------
+
+
+def psfc_encode(col):
+    """Prefix-Suffix Front Coding transform
+    (PSFCFourSectionDictionary.encode, core/dictionary/impl/
+    PSFCFourSectionDictionary.java:26-40): a literal's datatype/lang
+    suffix moves to the FRONT — '"123"^^<dt>' -> '^^<dt>"123"' — so
+    same-type literals become prefix-compressible neighbors. Terms
+    without a suffix (plain literals, IRIs, bnodes) pass through."""
+    has_suffix = col.startswith('"') & ~col.endswith('"')
+    # position of the LAST '"' = the lexical part's end
+    pos = F.length(col) - F.instr(F.reverse(col), '"') + 1
+    lex = col.substr(F.lit(1), pos)
+    suffix = col.substr(pos + 1, F.length(col) - pos)
+    return F.when(has_suffix, F.concat(suffix, lex)).otherwise(col)
+
+
+def psfc_decode(col):
+    """Inverse of psfc_encode (PSFCFourSectionDictionary.decode)."""
+    is_enc = (col.startswith("^") | col.startswith("@")) & col.endswith('"')
+    p0 = F.instr(col, '"')
+    suffix = col.substr(F.lit(1), p0 - 1)
+    lex = col.substr(p0, F.length(col) - p0 + 1)
+    return F.when(is_enc, F.concat(lex, suffix)).otherwise(col)
+
+
+def psfc_view(dict_terms: DataFrame, block_size: int = 16) -> DataFrame:
+    """The PFC block view over the PSFC-transformed section order: the
+    reference's PSFC dictionary sorts each section by the TRANSFORMED
+    string, so ranks are reassigned here (one partition-local window
+    per section, same shape as pfc_view)."""
+    w = Window.partitionBy("section").orderBy("term")
+    enc = dict_terms.select(
+        "section", psfc_encode(F.col("term")).alias("term")
+    ).withColumn("sec_rank", F.row_number().over(w))
+    return pfc_view(enc, block_size=block_size)
+
+
 # --- typed-literal sectioning (MultipleSectionDictionary analog) -------
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"

@@ -33,6 +33,7 @@ from qendpoint_spark.encoding.header import (
     build_header,
     export_ntriples,
     pfc_view,
+    psfc_view,
     with_datatype,
 )
 from qendpoint_spark.extraction import extract_triples_from_documents
@@ -124,6 +125,13 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_pfc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pfc_view(_dict(spark, sf_dir))
+
+
+def q_kg_psfc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSFC section view: literals' datatype/lang suffixes moved to the
+    front (PSFCFourSectionDictionary.encode), sections re-ranked over
+    the transformed strings, then PFC block/lcp/suffix structure."""
+    return psfc_view(_dict(spark, sf_dir))
 
 
 def q_kg_datatype_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,6 +305,7 @@ QUERIES = {
     "kg_ntriples_export": q_kg_ntriples,
     "kg_datatype_sections": q_kg_datatype_sections,
     "kg_pfc_sections": q_kg_pfc_sections,
+    "kg_psfc_sections": q_kg_psfc_sections,
     "kg_dictionary": q_kg_dictionary,
     "kg_encode_spo": q_kg_spo,
     "kg_ops_index": q_kg_ops,
@@ -481,6 +490,47 @@ ORACLES = {
       SELECT term, section, sec_rank,
              lag(term) OVER (PARTITION BY section ORDER BY sec_rank) AS lag_term
       FROM dict
+    ),
+    lcps AS (
+      SELECT term, section, sec_rank, lag_term,
+             CASE WHEN (sec_rank - 1) % 16 = 0 OR lag_term IS NULL THEN 1 ELSE 0 END
+               AS is_head,
+             coalesce(list_max(list_transform(
+               generate_series(1, greatest(least(length(term), length(lag_term)), 1)),
+               i -> CASE WHEN substring(term, 1, i) = substring(lag_term, 1, i)
+                         THEN i ELSE 0 END)), 0) AS raw_lcp
+      FROM lagged
+    )
+    SELECT section, sec_rank, term, is_head,
+           (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END)::INTEGER
+             AS lcp,
+           CASE WHEN (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END) = 0
+                THEN term
+                ELSE substring(term,
+                  (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END) + 1,
+                  length(term)) END AS suffix
+    FROM lcps""",
+    "kg_psfc_sections": _KG_PRELUDE
+    + """
+    , psfc AS (
+      SELECT section,
+             CASE WHEN term LIKE '"%' AND NOT term LIKE '%"'
+                  THEN substring(term,
+                                 length(term) - strpos(reverse(term), '"') + 2)
+                       || substring(term, 1,
+                                    length(term) - strpos(reverse(term), '"') + 1)
+                  ELSE term END AS term
+      FROM dict
+    ),
+    ranked AS (
+      SELECT section, term,
+             row_number() OVER (PARTITION BY section ORDER BY term) AS sec_rank
+      FROM psfc
+    ),
+    lagged AS (
+      SELECT term, section, sec_rank,
+             lag(term) OVER (PARTITION BY section ORDER BY sec_rank) AS lag_term
+      FROM ranked
     ),
     lcps AS (
       SELECT term, section, sec_rank, lag_term,

@@ -82,3 +82,25 @@ def test_export_reimport_identity(spark, tmp_path):
     export_ntriples(tri).coalesce(1).write.mode("overwrite").text(str(out))
     back = read_ntriples(spark, str(out))
     assert back.exceptAll(tri).count() == 0 and tri.exceptAll(back).count() == 0
+
+
+def test_psfc_encode_decode_roundtrip(spark):
+    from pyspark.sql import Row
+
+    from qendpoint_spark.encoding.header import psfc_decode, psfc_encode
+
+    terms = [
+        '"123"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"v"@en', '"plain"', "http://example.org/iri", "_:b0",
+        '"汉字"@zh-hant',
+    ]
+    df = spark.createDataFrame([Row(term=t) for t in terms])
+    enc = df.select(F.col("term"), psfc_encode(F.col("term")).alias("e"))
+    rows = {r.term: r.e for r in enc.collect()}
+    assert rows['"123"^^<http://www.w3.org/2001/XMLSchema#integer>'] == \
+        '^^<http://www.w3.org/2001/XMLSchema#integer>"123"'
+    assert rows['"v"@en'] == '@en"v"'
+    assert rows['"plain"'] == '"plain"'  # suffix-free literals untouched
+    assert rows["_:b0"] == "_:b0"
+    back = enc.select(psfc_decode(F.col("e")).alias("d"), "term")
+    assert back.filter(F.col("d") != F.col("term")).count() == 0
