@@ -237,3 +237,69 @@ def run_pipeline(
 
     report.wall_s = time.time() - t_start
     return report
+
+
+def incremental_update(
+    spark: SparkSession,
+    catalog: Catalog,
+    new_docs: DataFrame,
+    source_kind: str = "documents",
+    batch_fingerprint: str = "",
+    num_partitions: int | None = None,
+) -> PipelineReport:
+    """KCat-style compaction of a new document batch into the PUBLISHED
+    tables — the reference's CatTree incremental generation (§2D,
+    CatTreeImpl.doGenerationSync: build a chunk HDT, then cat it with
+    the accumulated one). The batch is extracted + dictionary-encoded
+    in its OWN ID space, merged with the published dataset through the
+    golden-cat path (decode -> union -> re-rank -> re-encode), and the
+    dict/SPO/OPS tables are atomically republished. Identity proven in
+    tests: pipeline(A) + incremental_update(B) == pipeline(A ∪ B).
+    """
+    from qendpoint_spark.merge import merge_datasets
+
+    t_start = time.time()
+    report = PipelineReport()
+    extractor = (
+        extract_triples_from_documents
+        if source_kind == "documents"
+        else extract_triples_from_pages
+    )
+    new_tri = extractor(new_docs)
+    new_dict = build_dictionary(new_tri, num_partitions=num_partitions)
+    new_enc = encode_triples(new_tri, new_dict, assume_distinct=True)
+    merged_dict, merged_triples, _ = merge_datasets(
+        [(catalog.read("triples_spo"), catalog.read("dict_terms")),
+         (new_enc, new_dict)],
+        num_partitions=num_partitions,
+    )
+    fp = _fingerprint("incremental", source_kind, batch_fingerprint)
+    report.stages.append(
+        catalog.write_stage(
+            "dict_terms",
+            with_datatype(merged_dict),
+            fp,
+            force=True,
+            partition_by=["section", "datatype"],
+        )
+    )
+    res = catalog.write_stage(
+        "triples_spo",
+        spo_table(merged_triples, num_partitions=num_partitions),
+        fp,
+        sort_cols=["s", "p", "o"],
+        force=True,
+    )
+    report.stages.append(res)
+    report.n_triples = res.rows
+    report.stages.append(
+        catalog.write_stage(
+            "triples_ops",
+            ops_table(catalog.read("triples_spo"), num_partitions=num_partitions),
+            fp,
+            sort_cols=["o", "p", "s"],
+            force=True,
+        )
+    )
+    report.wall_s = time.time() - t_start
+    return report

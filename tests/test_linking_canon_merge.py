@@ -164,3 +164,30 @@ def test_diff_quads_match_on_graph(spark):
     # deleting the g1 statement must keep the identical triple in g2
     _, new_enc = diff_datasets(quads, spark.createDataFrame([rows[0]]))
     assert new_enc.count() == 1
+
+
+def test_incremental_update_equals_full_rebuild(spark, documents, tmp_path):
+    """Pipeline-level golden cat: publish(A) + incremental_update(B)
+    == publish(A ∪ B), table for table."""
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import incremental_update, run_pipeline
+
+    docs_a = documents.filter(F.col("doc_id") % 2 == 0)
+    docs_b = documents.filter(F.col("doc_id") % 2 == 1)
+
+    cat_inc = Catalog(spark, str(tmp_path / "inc"))
+    run_pipeline(spark, cat_inc, source_df=docs_a, source_kind="documents",
+                 source_fingerprint="half-a", num_partitions=4)
+    incremental_update(spark, cat_inc, docs_b, batch_fingerprint="half-b",
+                       num_partitions=4)
+
+    cat_full = Catalog(spark, str(tmp_path / "full"))
+    run_pipeline(spark, cat_full, source_df=documents, source_kind="documents",
+                 source_fingerprint="full", num_partitions=4)
+
+    for name, cols in [("dict_terms", ["term", "section", "sec_rank", "id"]),
+                       ("triples_spo", ["s", "p", "o"]),
+                       ("triples_ops", ["o", "p", "s"])]:
+        a = cat_inc.read(name).select(*cols)
+        b = cat_full.read(name).select(*cols)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
