@@ -41,6 +41,18 @@ from qendpoint_spark.extraction import extract_triples_from_documents
 # ---------------------------------------------------------------- caching
 
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE_MAX = 24  # bounded: evict+unpersist oldest in long-lived sessions
+
+
+def _cache_put(key: tuple[int, str, str], df: DataFrame) -> DataFrame:
+    while len(_CACHE) >= _CACHE_MAX:
+        old = _CACHE.pop(next(iter(_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    _CACHE[key] = df
+    return df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,23 +62,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir, "triples")
     if key not in _CACHE:
-        _CACHE[key] = extract_triples_from_documents(_docs(spark, sf_dir)).cache()
+        _cache_put(key, extract_triples_from_documents(_docs(spark, sf_dir)).cache())
     return _CACHE[key]
 
 
 def _dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir, "dict")
     if key not in _CACHE:
-        _CACHE[key] = build_dictionary(_triples(spark, sf_dir)).cache()
+        _cache_put(key, build_dictionary(_triples(spark, sf_dir)).cache())
     return _CACHE[key]
 
 
 def _enc(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir, "enc")
     if key not in _CACHE:
-        _CACHE[key] = encode_triples(
-            _triples(spark, sf_dir), _dict(spark, sf_dir)
-        ).cache()
+        _cache_put(
+            key,
+            encode_triples(_triples(spark, sf_dir), _dict(spark, sf_dir)).cache(),
+        )
     return _CACHE[key]
 
 

@@ -148,6 +148,26 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming-native sessionization: session_window(ts, 30 min) per
+    user via Structured Streaming (availableNow drain == batch result).
+    Oracle: gap-flag + cumulative-sum sessions; Spark merges events
+    whose interval [ts, ts+gap) overlaps the next event, so a gap of
+    EXACTLY 30 min starts a new session (>= in the oracle's flag)."""
+    from qendpoint_spark.streaming import sessionize_events
+
+    out = sessionize_events(
+        spark, sf_dir, gap="30 minutes",
+        query_name=f"sess_{abs(hash(sf_dir)) % 10**8}",
+    )
+    return out.select(
+        F.col("session_start").cast("timestamp").cast("long").alias("start_epoch"),
+        F.col("session_end").cast("timestamp").cast("long").alias("end_epoch"),
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_stream_events_window(spark, sf_dir):
     """Structured Streaming watermarked tumbling window (availableNow
     drain == batch GROUP BY; oracle is the batch equivalent)."""
@@ -166,6 +186,7 @@ REL_QUERIES = {
     "rel_rollup_order_stats": q_rollup_order_stats,
     "rel_sessionize_events": q_sessionize_events,
     "stream_events_window": q_stream_events_window,
+    "stream_sessionize_events": q_stream_sessionize,
 }
 
 REL_ORACLES = {
@@ -236,4 +257,23 @@ FROM sessions GROUP BY user_id, session_no""",
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+    "stream_sessionize_events": """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800 THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS session_no
+  FROM flagged
+)
+SELECT floor(epoch(min(ts)))::BIGINT AS start_epoch,
+       (floor(epoch(max(ts))) + 1800)::BIGINT AS end_epoch,
+       user_id, count(*)::BIGINT AS n_events
+FROM sessions GROUP BY user_id, session_no""",
 }

@@ -1,3 +1,13 @@
-from qendpoint_spark.sources.ntriples import read_ntriples
+from qendpoint_spark.sources.ntriples import (
+    guess_format,
+    read_ntriples,
+    read_ntriples_dir,
+    read_rdf_source,
+)
 
-__all__ = ["read_ntriples"]
+__all__ = [
+    "guess_format",
+    "read_ntriples",
+    "read_ntriples_dir",
+    "read_rdf_source",
+]

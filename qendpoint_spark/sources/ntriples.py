@@ -74,10 +74,90 @@ def _term_col(raw: str):
     ).otherwise(c)
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Parse an N-Triples file (or directory/glob of files) into
-    triples_str(s, p, o). Distributed: one task per text split."""
+def read_ntriples(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parse N-Triples file(s) (path, glob, or list of paths; Spark
+    decompresses .gz/.bz2/... transparently) into triples_str(s, p, o).
+    Distributed: one task per text split."""
     lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", _LINE, 1).alias("s_raw"),
+        F.regexp_extract("value", _LINE, 2).alias("p_raw"),
+        F.regexp_extract("value", _LINE, 3).alias("o_raw"),
+    ).filter((F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != ""))
+    return parsed.select(
+        _term_col("s_raw").alias("s"),
+        _term_col("p_raw").alias("p"),
+        _term_col("o_raw").alias("o"),
+    )
+
+
+# --- container sources + format guess ------------------------------------
+#
+# Reference: RDFNotation.guess (extension -> notation,
+# core/enums/RDFNotation.java:113-201), RDFParserDir/List container
+# parsers, and CompressionType transparent decompression. Spark's text
+# reader natively decodes .gz/.bz2/.lz4/.zstd/.snappy per file, and a
+# directory/glob path IS the dir container; the list container maps to
+# "read the list file, then pass its entries as one multi-path load".
+
+_TEXT_CODECS = (".gz", ".bz2", ".lz4", ".zst", ".zstd", ".snappy", ".deflate")
+
+
+def guess_format(path: str) -> str:
+    """Extension -> source kind ('ntriples' | 'parquet' | 'list' |
+    'dir'). Codec suffixes are transparent, as in the reference."""
+    p = path.rstrip("/").lower()
+    for codec in _TEXT_CODECS:
+        if p.endswith(codec):
+            p = p[: -len(codec)]
+            break
+    if p.endswith((".nt", ".ntriples")):
+        return "ntriples"
+    if p.endswith(".parquet"):
+        return "parquet"
+    if p.endswith(".list"):
+        return "list"
+    return "dir"
+
+
+def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
+    """Container-aware triple source: N-Triples file(s) (optionally
+    compressed), a parquet triple table, a .list file of paths (the
+    RDFParserList analog), or a directory/glob of any of these."""
+    kind = guess_format(path)
+    if kind == "ntriples":
+        return read_ntriples(spark, path)
+    if kind == "parquet":
+        return spark.read.parquet(path).select("s", "p", "o")
+    if kind == "list":
+        entries = [r.value.strip() for r in spark.read.text(path).collect()]
+        entries = [e for e in entries if e and not e.startswith("#")]
+        nt = [e for e in entries if guess_format(e) == "ntriples"]
+        pq = [e for e in entries if guess_format(e) == "parquet"]
+        parts = []
+        if nt:
+            parts.append(read_ntriples(spark, nt))  # multi-path load
+        parts.extend(
+            spark.read.parquet(e).select("s", "p", "o") for e in pq
+        )
+        if not parts:
+            raise ValueError(f"list file {path} contains no readable entries")
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+    # directory: recursive glob over N-Triples members
+    return read_ntriples_dir(spark, path)
+
+
+def read_ntriples_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory container (RDFParserDir analog): every *.nt member —
+    compressed or not — parsed recursively in one distributed load."""
+    lines = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.nt*")
+        .text(path)
+    )
     parsed = lines.select(
         F.regexp_extract("value", _LINE, 1).alias("s_raw"),
         F.regexp_extract("value", _LINE, 2).alias("p_raw"),

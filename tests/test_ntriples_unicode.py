@@ -104,3 +104,65 @@ def test_psfc_encode_decode_roundtrip(spark):
     assert rows["_:b0"] == "_:b0"
     back = enc.select(psfc_decode(F.col("e")).alias("d"), "term")
     assert back.filter(F.col("d") != F.col("term")).count() == 0
+
+
+def test_container_sources_and_format_guess(spark, tmp_path):
+    import gzip
+
+    from qendpoint_spark.sources import (
+        guess_format,
+        read_ntriples_dir,
+        read_rdf_source,
+    )
+
+    assert guess_format("a/b.nt") == "ntriples"
+    assert guess_format("a/b.nt.gz") == "ntriples"
+    assert guess_format("a/b.parquet") == "parquet"
+    assert guess_format("a/b.list") == "list"
+    assert guess_format("a/dir") == "dir"
+
+    lines = [
+        "<http://x/s1> <http://x/p> \"one\" .",
+        "<http://x/s2> <http://x/p> \"two\" .",
+    ]
+    sub = tmp_path / "container" / "nested"
+    sub.mkdir(parents=True)
+    (sub / "a.nt").write_text(lines[0] + "\n", encoding="utf-8")
+    with gzip.open(sub / "b.nt.gz", "wt", encoding="utf-8") as f:
+        f.write(lines[1] + "\n")
+
+    # dir container: plain + transparently-decompressed members
+    got = read_ntriples_dir(spark, str(tmp_path / "container"))
+    assert {(r.s, r.o) for r in got.collect()} == {
+        ("http://x/s1", '"one"'), ("http://x/s2", '"two"')
+    }
+    # list container
+    lst = tmp_path / "inputs.list"
+    lst.write_text(f"{sub / 'a.nt'}\n# comment\n{sub / 'b.nt.gz'}\n")
+    got2 = read_rdf_source(spark, str(lst))
+    assert got2.count() == 2
+    # single compressed file through the dispatcher
+    got3 = read_rdf_source(spark, str(sub / "b.nt.gz"))
+    assert got3.collect()[0].o == '"two"'
+
+
+def test_alternate_sort_orders(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from qendpoint_spark.encoding import ORDERS, sorted_table
+
+    rows = [Row(s=s, p=p, o=o) for s in (2, 1) for p in (2, 1) for o in (2, 1)]
+    df = spark.createDataFrame(rows)
+    for order in ORDERS:
+        t = sorted_table(df, order, num_partitions=2)
+        assert t.columns == list(order)
+        got = [tuple(r) for r in t.collect()]
+        assert sorted(got) != [] and len(got) == 8
+        # global sort: collect() preserves partition order for range
+        # partitions, so the rows must arrive fully ordered
+        assert got == sorted(got)
+    try:
+        sorted_table(df, "xyz")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
