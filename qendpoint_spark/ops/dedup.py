@@ -198,6 +198,69 @@ def simhash_table(documents: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame, min_cos: float = 0.3
+) -> DataFrame:
+    """Near-duplicate vectors with HYPERPLANE-LSH blocking — the
+    at-scale replacement for label blocking (a hot label's block goes
+    quadratic; an LSH bucket's size is corpus/2^bits per table by
+    construction). Candidates = pairs sharing any of the LSH_TABLES
+    signature buckets (similarity.HYPERPLANES, shared literals with the
+    SQL oracle), then exact quantized cosine >= min_cos."""
+    from qendpoint_spark.ops.similarity import LSH_TABLES, lsh_signature
+
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * QUANT).cast("long"),
+        ).alias("qv"),
+    )
+    tables = [
+        q.select(
+            "vec_id", F.lit(t).alias("tbl"), lsh_signature("qv", t).alias("bucket")
+        )
+        for t in range(LSH_TABLES)
+    ]
+    buckets = tables[0]
+    for df in tables[1:]:
+        buckets = buckets.unionByName(df)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
+    vb = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("qdot", dot)
+        .withColumn(
+            "cos_q",
+            F.round(
+                dot / F.sqrt(norm("qa").cast("double") * norm("qb").cast("double")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_q") >= min_cos)
+        .select("vec_a", "vec_b", "qdot", "cos_q")
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, min_cos: float = 0.3
 ) -> DataFrame:

@@ -82,3 +82,98 @@ def extract_features(assets: DataFrame) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, kind string, src_width int, src_height int, "
+    "out_width int, out_height int, resized_md5 string"
+)
+
+
+def resize_assets(assets: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving resize plan for image/video assets (audio rows
+    drop). All arithmetic is integer floor-division so the target
+    dimensions are bit-identical across engines; the pixel resample
+    itself is the STUBBED step (resized_md5 = md5(payload_md5#WxH) —
+    a real deployment calls PIL/ffmpeg inside this same mapInPandas
+    iterator, touching no plan shape)."""
+    import hashlib
+
+    def dims(w: int, h: int) -> tuple[int, int]:
+        if w <= max_w and h <= max_h:
+            return w, h
+        out_w = min(w, max_w)
+        out_h = (h * out_w) // w
+        if out_h > max_h:
+            out_h = max_h
+            out_w = (w * max_h) // h
+        return max(out_w, 1), max(out_h, 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p, k in zip(pdf["asset_id"], pdf["payload"], pdf["kind"]):
+                if k == "audio":
+                    continue
+                d = _fake_decode(bytes(p), k)
+                w, h = d["width"], d["height"]
+                ow, oh = dims(w, h)
+                src_md5 = hashlib.md5(bytes(p)).hexdigest()
+                rows.append(
+                    {
+                        "asset_id": aid, "kind": k,
+                        "src_width": w, "src_height": h,
+                        "out_width": ow, "out_height": oh,
+                        "resized_md5": hashlib.md5(
+                            f"{src_md5}#{ow}x{oh}".encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "kind", "src_width", "src_height",
+                         "out_width", "out_height", "resized_md5"],
+            )
+
+    return assets.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "asset_id long, frame_no int, frame_ts_ms int, frame_md5 string"
+)
+
+
+def sample_frames(assets: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video assets: every k-th frame with
+    k = max(1, n_frames // max_frames) — a 1-to-N mapInPandas (one
+    input asset emits a variable number of frame rows; the Arrow batch
+    contract handles the fan-out without an explode shuffle). The
+    frame decode is the stubbed step (frame_md5 = md5(payload_md5#i);
+    the fake codec's 40 ms/frame clock gives frame_ts_ms)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, p, k in zip(pdf["asset_id"], pdf["payload"], pdf["kind"]):
+                if k != "video":
+                    continue
+                n_frames = _fake_decode(bytes(p), k)["n_frames"]
+                step = max(1, n_frames // max_frames)
+                src_md5 = hashlib.md5(bytes(p)).hexdigest()
+                for i in range(0, n_frames, step):
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_no": i,
+                            "frame_ts_ms": i * 40,
+                            "frame_md5": hashlib.md5(
+                                f"{src_md5}#{i}".encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_no", "frame_ts_ms", "frame_md5"]
+            )
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)

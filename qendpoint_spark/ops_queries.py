@@ -97,6 +97,24 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(assets_from_documents(_docs(spark, sf_dir)))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    from qendpoint_spark.ops.multimodal import resize_assets
+
+    return resize_assets(assets_from_documents(_docs(spark, sf_dir)), 256, 256)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from qendpoint_spark.ops.multimodal import sample_frames
+
+    return sample_frames(assets_from_documents(_docs(spark, sf_dir)), max_frames=8)
+
+
+def q_embed_dup_lsh(spark, sf_dir):
+    from qendpoint_spark.ops.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(_emb(spark, sf_dir), min_cos=0.3)
+
+
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF ANN serving the frozen coarse quantizer (trained once by
     k-means — scripts/train_ivf_centroids.py): assignment + probe +
@@ -226,6 +244,9 @@ OPS_QUERIES = {
     "sim_topk_lsh": q_sim_lsh_topk,
     "sim_topk_ivf": q_sim_topk_ivf,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "dedup_embedding_lsh": q_embed_dup_lsh,
     "kg_entity_link": q_entity_link,
     "kg_canonicalize_cc": q_canonicalize_cc,
     "quality_filter": q_quality_filter,
@@ -278,9 +299,9 @@ qv AS (
 )"""
 
 
-def _lsh_hyperplane_oracle(query_mod: int = 97, k: int = 5) -> str:
-    """SQL twin of similarity.lsh_bucketed_topk, generated from the
-    SAME hyperplane literals (multi-table sign-signature LSH; integer
+def _lsh_buckets_cte() -> str:
+    """Shared CTE fragment: qv + hyperplane signature buckets, built
+    from the SAME hyperplane literals as ops.similarity (integer
     projections -> exact signatures)."""
     from qendpoint_spark.ops.similarity import HYPERPLANES, LSH_BITS, LSH_TABLES
 
@@ -288,8 +309,7 @@ def _lsh_hyperplane_oracle(query_mod: int = 97, k: int = 5) -> str:
         f"({i // LSH_BITS}, {i % LSH_BITS}, [{', '.join(map(str, vec))}]::BIGINT[])"
         for i, vec in enumerate(HYPERPLANES[: LSH_BITS * LSH_TABLES])
     )
-    return f"""
-WITH {_QV},
+    return f"""{_QV},
 hp AS (
   SELECT * FROM (VALUES
     {hp_rows}
@@ -305,7 +325,13 @@ buckets AS (
   SELECT vec_id, tbl,
          sum(CASE WHEN d >= 0 THEN (1 << bit) ELSE 0 END)::INTEGER AS bucket
   FROM hd GROUP BY 1, 2
-),
+)"""
+
+
+def _lsh_hyperplane_oracle(query_mod: int = 97, k: int = 5) -> str:
+    """SQL twin of similarity.lsh_bucketed_topk."""
+    return f"""
+WITH {_lsh_buckets_cte()},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM buckets q
@@ -327,6 +353,88 @@ SELECT query_id, neighbor_id, rank, qdot FROM (
                             ORDER BY qdot DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {k}"""
+
+
+def _embed_dup_lsh_oracle(min_cos: float = 0.3) -> str:
+    """SQL twin of dedup.embedding_dup_pairs_lsh (same hyperplane
+    literals; candidates from any shared signature bucket)."""
+    return f"""
+WITH {_lsh_buckets_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a
+  JOIN buckets b ON b.tbl = a.tbl AND b.bucket = a.bucket
+               AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         sum(x * y)::BIGINT AS qdot,
+         sum(x * x)::BIGINT AS qna,
+         sum(y * y)::BIGINT AS qnb
+  FROM (SELECT c.vec_a, c.vec_b, unnest(va.q) AS x, unnest(vb.q) AS y
+        FROM cand c
+        JOIN qv va ON va.vec_id = c.vec_a
+        JOIN qv vb ON vb.vec_id = c.vec_b)
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, qdot,
+       round(qdot / sqrt(qna::DOUBLE * qnb::DOUBLE), 6) AS cos_q
+FROM dots
+WHERE round(qdot / sqrt(qna::DOUBLE * qnb::DOUBLE), 6) >= {min_cos}"""
+
+
+_ASSETS_DIMS = """
+assets AS (
+  SELECT doc_id AS asset_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(coalesce(text, '')))::BIGINT AS n,
+         md5(coalesce(text, '')) AS src_md5
+  FROM documents
+),
+dims AS (
+  SELECT asset_id, kind, src_md5,
+         (CASE kind WHEN 'image' THEN n % 640 + 1 ELSE n % 1280 + 1 END)::BIGINT AS w,
+         (CASE kind WHEN 'image' THEN n % 480 + 1 ELSE n % 720 + 1 END)::BIGINT AS h,
+         (n % 250 + 1)::BIGINT AS n_frames
+  FROM assets WHERE kind <> 'audio'
+)"""
+
+
+def _resize_oracle(max_w: int = 256, max_h: int = 256) -> str:
+    return f"""
+WITH {_ASSETS_DIMS},
+resz AS (
+  SELECT asset_id, kind, w, h,
+    CASE WHEN w <= {max_w} AND h <= {max_h} THEN w
+         WHEN (h * least(w, {max_w})) // w > {max_h}
+              THEN greatest((w * {max_h}) // h, 1)
+         ELSE greatest(least(w, {max_w}), 1) END AS out_w,
+    CASE WHEN w <= {max_w} AND h <= {max_h} THEN h
+         WHEN (h * least(w, {max_w})) // w > {max_h} THEN {max_h}
+         ELSE greatest((h * least(w, {max_w})) // w, 1) END AS out_h,
+    src_md5
+  FROM dims
+)
+SELECT asset_id, kind,
+       w::INTEGER AS src_width, h::INTEGER AS src_height,
+       out_w::INTEGER AS out_width, out_h::INTEGER AS out_height,
+       md5(src_md5 || '#' || out_w || 'x' || out_h) AS resized_md5
+FROM resz"""
+
+
+def _frames_oracle(max_frames: int = 8) -> str:
+    return f"""
+WITH {_ASSETS_DIMS},
+f AS (
+  SELECT asset_id, src_md5,
+         unnest(generate_series(0, n_frames - 1,
+                                greatest(1, n_frames // {max_frames}))) AS i
+  FROM dims WHERE kind = 'video'
+)
+SELECT asset_id, i::INTEGER AS frame_no, (i * 40)::INTEGER AS frame_ts_ms,
+       md5(src_md5 || '#' || i) AS frame_md5
+FROM f"""
 
 
 def _ivf_frozen_oracle(query_mod: int = 97, k: int = 5, nprobe: int = 2) -> str:
@@ -531,6 +639,9 @@ SELECT query_id, neighbor_id, rank, qdot FROM (
 ) WHERE rank <= 5""",
     "sim_topk_lsh": _lsh_hyperplane_oracle(query_mod=97, k=5),
     "sim_topk_ivf": _ivf_frozen_oracle(query_mod=97, k=5, nprobe=2),
+    "dedup_embedding_lsh": _embed_dup_lsh_oracle(min_cos=0.3),
+    "multimodal_resize": _resize_oracle(256, 256),
+    "multimodal_frames": _frames_oracle(8),
     "multimodal_features": """
 WITH assets AS (
   SELECT doc_id AS asset_id,

