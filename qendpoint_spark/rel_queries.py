@@ -168,6 +168,31 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_ingest_compact(spark, sf_dir):
+    """CatTree-style incremental ingest through the driver gate:
+    documents re-shaped as pages -> landing dir -> Structured Streaming
+    foreachBatch extraction into staging -> compaction (cross-batch
+    dedup). The oracle recomputes the pages extraction grammar
+    directly, so any batch loss/duplication or extraction drift
+    hash-fails."""
+    import tempfile
+
+    from qendpoint_spark.streaming import compact_staging, stream_ingest_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://example.org/page/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("html"),
+        "text",
+        "lang",
+    )
+    base = tempfile.mkdtemp(prefix="qs_ingest_")
+    pages.write.mode("overwrite").parquet(f"{base}/landing/d1.parquet")
+    stream_ingest_pages(spark, f"{base}/landing", f"{base}/staging", f"{base}/ckpt")
+    return compact_staging(spark, f"{base}/staging")
+
+
 def q_stream_events_window(spark, sf_dir):
     """Structured Streaming watermarked tumbling window (availableNow
     drain == batch GROUP BY; oracle is the batch equivalent)."""
@@ -187,6 +212,7 @@ REL_QUERIES = {
     "rel_sessionize_events": q_sessionize_events,
     "stream_events_window": q_stream_events_window,
     "stream_sessionize_events": q_stream_sessionize,
+    "stream_ingest_compact": q_stream_ingest_compact,
 }
 
 REL_ORACLES = {
@@ -276,4 +302,27 @@ SELECT floor(epoch(min(ts)))::BIGINT AS start_epoch,
        (floor(epoch(max(ts))) + 1800)::BIGINT AS end_epoch,
        user_id, count(*)::BIGINT AS n_events
 FROM sessions GROUP BY user_id, session_no""",
+    "stream_ingest_compact": """
+WITH pages AS (
+  SELECT 'http://example.org/page/' || doc_id AS u, text, lang
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT u, tok FROM (
+    SELECT u, unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM pages
+  ) WHERE length(tok) >= 4
+)
+SELECT DISTINCT s, p, o FROM (
+  SELECT u AS s, 'http://example.org/prop/lang' AS p,
+         '"' || lang || '"@' || lang AS o
+  FROM pages
+  UNION ALL
+  SELECT u, 'http://example.org/prop/mentions',
+         'http://example.org/ent/' || tok
+  FROM toks
+  UNION ALL
+  SELECT DISTINCT 'http://example.org/ent/' || tok,
+         'http://example.org/prop/label', '"' || tok || '"'
+  FROM toks
+)""",
 }
