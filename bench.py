@@ -48,6 +48,9 @@ def main() -> None:
     if scratch:
         os.makedirs(scratch, exist_ok=True)
     extra = {"spark.local.dir": scratch} if scratch else {}
+    codec = os.environ.get("SPARK_GRAFT_PARQUET_CODEC")
+    if codec:
+        extra["spark.sql.parquet.compression.codec"] = codec
     spark = get_spark("qendpoint-bench", cores=cpus, extra_conf=extra)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if expand > 1:

@@ -99,18 +99,25 @@ def encode_triples(
 
 
 def decode_triples(triples_id: DataFrame, dict_terms: DataFrame) -> DataFrame:
-    """(s,p,o longs) -> (s,p,o strings); inverse of encode (id->term is
-    unique per space, so this is exact)."""
+    """(s,p,o[,g] longs) -> (s,p,o[,g] strings); inverse of encode
+    (id->term is unique per space, so this is exact). Quad mode decodes
+    the graph column through the (broadcast-sized) G section."""
+    with_graph = "g" in triples_id.columns
     smap = subject_map(dict_terms).withColumnRenamed("term", "s_term")
     pmap = predicate_map(dict_terms).withColumnRenamed("term", "p_term")
     omap = object_map(dict_terms).withColumnRenamed("term", "o_term")
-    return (
+    out = (
         triples_id.join(smap, triples_id["s"] == smap["sid"], "inner")
         .join(F.broadcast(pmap), triples_id["p"] == pmap["pid"], "inner")
         .join(omap, triples_id["o"] == omap["oid"], "inner")
-        .select(
-            F.col("s_term").alias("s"),
-            F.col("p_term").alias("p"),
-            F.col("o_term").alias("o"),
-        )
     )
+    cols = [
+        F.col("s_term").alias("s"),
+        F.col("p_term").alias("p"),
+        F.col("o_term").alias("o"),
+    ]
+    if with_graph:
+        gmap = graph_map(dict_terms).withColumnRenamed("term", "g_term")
+        out = out.join(F.broadcast(gmap), triples_id["g"] == gmap["gid"], "inner")
+        cols.append(F.col("g_term").alias("g"))
+    return out.select(*cols)

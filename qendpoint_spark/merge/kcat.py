@@ -43,22 +43,19 @@ def merge_datasets(
     KCatMerger's SyncSeq arrays, derivable because term strings are the
     join key between old and new dictionaries.
 
-    Quad datasets are REJECTED: decode_triples drops a `g` column and
-    by_space has no graph space, so silently merging would lose graph
-    terms (reference KCat is triples-only too; merge per-graph or
-    extend by_space with a 'graph' space first).
+    Quad datasets merge too (all inputs must agree: either every input
+    has a `g` column or none — a mixed merge would silently drop graph
+    context, so it raises). Graph terms decode through the G section
+    and re-rank into the merged G namespace like any other space.
     """
-    for i, (t, d) in enumerate(inputs):
-        if "g" in t.columns:
-            raise ValueError(
-                f"merge_datasets: input {i} has a graph column; quad "
-                "datasets are not supported — merge per-graph instead"
-            )
-        if d.filter(F.col("section") == "G").limit(1).count() > 0:
-            raise ValueError(
-                f"merge_datasets: input {i}'s dictionary has a G "
-                "section; quad datasets are not supported"
-            )
+    graphness = {("g" in t.columns) for t, _ in inputs}
+    if len(graphness) > 1:
+        raise ValueError(
+            "merge_datasets: cannot mix triple and quad inputs — lift "
+            "the triple datasets into a default graph first"
+        )
+    with_graph = graphness.pop()
+    keys = ["s", "p", "o"] + (["g"] if with_graph else [])
     strs = [decode_triples(t, d) for t, d in inputs]
     union = strs[0]
     for s in strs[1:]:
@@ -70,7 +67,7 @@ def merge_datasets(
     # (measured 155s -> 3s on the golden-cat test for the same data).
     # The k decode cascades also feed two consumers (dictionary build +
     # re-encode), so materializing once avoids recompute.
-    union = union.dropDuplicates(["s", "p", "o"]).localCheckpoint(eager=True)
+    union = union.dropDuplicates(keys).localCheckpoint(eager=True)
     merged_dict = build_dictionary(
         union, num_partitions=num_partitions
     ).localCheckpoint(eager=True)
@@ -84,6 +81,7 @@ def merge_datasets(
             F.when(F.col(sec_col) == "SH", F.array(F.lit("subj"), F.lit("obj")))
             .when(F.col(sec_col) == "S", F.array(F.lit("subj")))
             .when(F.col(sec_col) == "O", F.array(F.lit("obj")))
+            .when(F.col(sec_col) == "G", F.array(F.lit("graph")))
             .otherwise(F.array(F.lit("pred")))
         )
         return d.withColumn("space", F.explode(spaces))

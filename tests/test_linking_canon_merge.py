@@ -143,16 +143,35 @@ def test_diff(spark, documents):
     )
 
 
-def test_merge_rejects_quads(spark):
+def test_merge_quads_golden_identity(spark):
     import pytest
 
-    quads = spark.createDataFrame(
-        [Row(s="http://x/s", p="http://x/p", o='"v"', g="http://x/g")]
-    )
-    qdict = build_dictionary(quads)
-    enc = encode_triples(quads, qdict)
-    with pytest.raises(ValueError, match="quad"):
-        merge_datasets([(enc, qdict), (enc, qdict)])
+    rows = [
+        Row(s=f"http://x/s{i % 3}", p=f"http://x/p{i % 2}",
+            o=f'"v{i}"', g=f"http://x/g{i % 2}")
+        for i in range(12)
+    ]
+    quads = spark.createDataFrame(rows)
+    half_a = spark.createDataFrame(rows[:7])
+    half_b = spark.createDataFrame(rows[5:])  # overlapping statements
+    inputs = []
+    for half in (half_a, half_b):
+        d = build_dictionary(half)
+        inputs.append((encode_triples(half, d), d))
+    merged_dict, merged, _remaps = merge_datasets(inputs)
+    full_dict = build_dictionary(quads)
+    expected = encode_triples(quads, full_dict)
+    cols = ["s", "p", "o", "g"]
+    a, b = merged.select(*cols), expected.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # G terms re-ranked into the merged graph namespace
+    assert merged_dict.filter(F.col("section") == "G").count() == 2
+
+    # mixed triple/quad inputs are refused
+    tri = spark.createDataFrame([Row(s="http://x/s", p="http://x/p", o='"v"')])
+    td = build_dictionary(tri)
+    with pytest.raises(ValueError, match="mix"):
+        merge_datasets([(encode_triples(tri, td), td), inputs[0]])
 
 
 def test_diff_quads_match_on_graph(spark):
