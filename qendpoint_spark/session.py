@@ -53,6 +53,12 @@ def get_spark(
         # execution is unaffected.
         .config("spark.sql.maxPlanStringLength", "8192")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd stage writes: measured +12% e2e over snappy on the bench
+        # (interleaved A/B, BENCH/BASELINE.md §codec-ab) — the pipeline
+        # is write-bandwidth-bound on sorted-table materializations, and
+        # zstd's ~2x byte cut beats its CPU cost; at 100 TB the at-rest
+        # savings compound into every downstream scan
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
