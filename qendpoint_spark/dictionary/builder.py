@@ -67,41 +67,7 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
        order, so per-section ranks fall out by subtracting the section's
        cumulative offset (4 numbers collected to the driver).
     """
-    with_graph = "g" in triples_str.columns
-    # (term, flag) role facts; flags: 1=subject, 2=object, 4=predicate,
-    # 8=graph. Predicates and graphs are independent ID namespaces
-    # (quad dictionaries, core/dictionary/impl quad variants), so they
-    # aggregate apart from the s/o universe via the ns key.
-    facts = (
-        triples_str.select(F.col("s").alias("term"), F.lit(1).alias("f"))
-        .unionByName(triples_str.select(F.col("o").alias("term"), F.lit(2).alias("f")))
-        .unionByName(triples_str.select(F.col("p").alias("term"), F.lit(4).alias("f")))
-    )
-    if with_graph:
-        facts = facts.unionByName(
-            triples_str.select(F.col("g").alias("term"), F.lit(8).alias("f"))
-        )
-    ns = (
-        F.when(F.col("f") == 4, F.lit(1))
-        .when(F.col("f") == 8, F.lit(2))
-        .otherwise(F.lit(0))
-    )
-    roles = (
-        facts.withColumn("ns", ns)
-        .groupBy("term", "ns")
-        .agg(F.max(F.when(F.col("f") == 1, 1).otherwise(0)).alias("is_s"),
-             F.max(F.when(F.col("f") == 2, 1).otherwise(0)).alias("is_o"))
-    )
-    # sec_key orders sections SH < S < O < P < G: one global rank serves all
-    sectioned = roles.select(
-        "term",
-        F.when(F.col("ns") == 1, F.lit(3))
-        .when(F.col("ns") == 2, F.lit(4))
-        .when((F.col("is_s") == 1) & (F.col("is_o") == 1), F.lit(0))
-        .when(F.col("is_s") == 1, F.lit(1))
-        .otherwise(F.lit(2))
-        .alias("sec_key"),
-    )
+    sectioned = role_sections(triples_str)
     ranked = zip_with_rank(
         sectioned, ["sec_key", "term"], "grank", num_partitions=num_partitions
     )
@@ -138,6 +104,48 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
         section.alias("section"),
         sec_rank.alias("sec_rank"),
         gid.alias("id"),
+    )
+
+
+def role_sections(triples_str: DataFrame) -> DataFrame:
+    """(term, sec_key) with sections SH < S < O < P < G encoded as
+    0..4 — the pre-rank stage of build_dictionary, exposed so plan
+    tests can assert the role aggregation is map-side combined (the
+    skew defense: hot terms collapse per-partition before the
+    exchange)."""
+    with_graph = "g" in triples_str.columns
+    # (term, flag) role facts; flags: 1=subject, 2=object, 4=predicate,
+    # 8=graph. Predicates and graphs are independent ID namespaces
+    # (quad dictionaries, core/dictionary/impl quad variants), so they
+    # aggregate apart from the s/o universe via the ns key.
+    facts = (
+        triples_str.select(F.col("s").alias("term"), F.lit(1).alias("f"))
+        .unionByName(triples_str.select(F.col("o").alias("term"), F.lit(2).alias("f")))
+        .unionByName(triples_str.select(F.col("p").alias("term"), F.lit(4).alias("f")))
+    )
+    if with_graph:
+        facts = facts.unionByName(
+            triples_str.select(F.col("g").alias("term"), F.lit(8).alias("f"))
+        )
+    ns = (
+        F.when(F.col("f") == 4, F.lit(1))
+        .when(F.col("f") == 8, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    roles = (
+        facts.withColumn("ns", ns)
+        .groupBy("term", "ns")
+        .agg(F.max(F.when(F.col("f") == 1, 1).otherwise(0)).alias("is_s"),
+             F.max(F.when(F.col("f") == 2, 1).otherwise(0)).alias("is_o"))
+    )
+    return roles.select(
+        "term",
+        F.when(F.col("ns") == 1, F.lit(3))
+        .when(F.col("ns") == 2, F.lit(4))
+        .when((F.col("is_s") == 1) & (F.col("is_o") == 1), F.lit(0))
+        .when(F.col("is_s") == 1, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("sec_key"),
     )
 
 

@@ -123,6 +123,38 @@ def q_rollup_order_stats(spark, sf_dir):
     )
 
 
+def q_exists_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery as a left-semi join —
+    orders with at least one deep-discount lineitem, per priority
+    (the testdata lineitem is slim: no commit/receipt dates)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_setops_intersect_except(spark, sf_dir):
+    """True INTERSECT / EXCEPT set operators: customers in both (or
+    only one of) the orders and high-balance populations."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select(F.col("c_custkey").alias("key"))
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
+    )
+    both = with_orders.intersect(rich).select("key", F.lit("both").alias("tag"))
+    only_orders = with_orders.exceptAll(rich).select(
+        "key", F.lit("orders_only").alias("tag")
+    )
+    return both.unionByName(only_orders)
+
+
 def q_sessionize_events(spark, sf_dir):
     """Batch sessionization: lag + gap-flag + cumulative session id —
     the window-chain idiom (streaming twin: session_window)."""
@@ -208,6 +240,8 @@ REL_QUERIES = {
     "rel_window_topk_orders": q_window_topk_orders,
     "rel_window_running_balance": q_window_running_balance,
     "rel_setops_customer_segments": q_setops_customer_segments,
+    "rel_exists_late_orders": q_exists_late_orders,
+    "rel_setops_intersect_except": q_setops_intersect_except,
     "rel_rollup_order_stats": q_rollup_order_stats,
     "rel_sessionize_events": q_sessionize_events,
     "stream_events_window": q_stream_events_window,
@@ -259,6 +293,23 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        round(sum(o_totalprice), 2) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "rel_exists_late_orders": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+)
+GROUP BY o_orderpriority""",
+    "rel_setops_intersect_except": """
+WITH with_orders AS (
+  SELECT c_custkey AS key FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+),
+rich AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000)
+SELECT key, 'both' AS tag FROM (SELECT key FROM with_orders INTERSECT SELECT key FROM rich)
+UNION ALL
+SELECT key, 'orders_only' FROM (SELECT key FROM with_orders EXCEPT ALL SELECT key FROM rich)""",
     "rel_sessionize_events": """
 WITH flagged AS (
   SELECT user_id, event_id, ts,

@@ -139,3 +139,15 @@ def test_bgp_stats_ordering(spark, tmp_path):
     g, r = got.select(*cols), ref.select(*cols)
     assert g.exceptAll(r).count() == 0 and r.exceptAll(g).count() == 0
     assert got.count() > 0
+
+
+def test_dictionary_agg_is_map_side_combined(spark, documents):
+    """Skew defense of the dictionary build: the role aggregation must
+    have a partial (map-side) phase BEFORE the exchange, so a hot term
+    (rdf:type-style) collapses per-partition instead of concentrating
+    on one reducer — the salting-equivalent for aggregations."""
+    from qendpoint_spark.dictionary.builder import role_sections
+
+    tr = extract_triples_from_documents(documents).localCheckpoint(eager=True)
+    plan = _plan(role_sections(tr))
+    assert "partial_max" in plan, plan[:2000]
