@@ -159,6 +159,66 @@ def q_entity_link(spark, sf_dir):
     return link_mentions(toks, alias_dict, broadcast_dict=True, top_k=1)
 
 
+def q_entity_link_blocked(spark, sf_dir):
+    """Same linking contract as kg_entity_link but through the 100-TB
+    path: broadcast OFF, both sides repartitioned on block_key (first
+    alias token) -> co-partitioned sort-merge join with AQE skew split.
+    Result must be identical to the broadcast plan (same oracle)."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            F.concat(F.lit(DOC_IRI), F.col("doc_id").cast("string")).alias("doc_iri"),
+            F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("alias"),
+        )
+        .filter(F.length("alias") >= 4)
+        .distinct()
+    )
+    vocab = toks.select("alias").distinct()
+
+    def h8(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    primary = vocab.select(
+        "alias",
+        F.concat(F.lit(KB_IRI), F.col("alias")).alias("entity_iri"),
+        F.round((h8(F.col("alias")) % 1000) / 1000.0, 6).alias("prior"),
+    )
+    alts = vocab.filter(h8(F.col("alias")) % 3 == 0).select(
+        "alias",
+        F.concat(F.lit(KB_IRI), F.col("alias"), F.lit("_alt")).alias("entity_iri"),
+        F.round((h8(F.concat(F.col("alias"), F.lit("x"))) % 1000) / 1000.0, 6).alias(
+            "prior"
+        ),
+    )
+    alias_dict = primary.unionByName(alts).withColumn(
+        "block_key", F.split(F.col("alias"), " ").getItem(0)
+    )
+    return link_mentions(
+        toks, alias_dict, broadcast_dict=False, top_k=1
+    ).select("doc_iri", "alias", "entity_iri", "prior", "link_rank")
+
+
+def q_canonical_triples(spark, sf_dir):
+    """Pipeline-integrated canonicalization: rewrite the extracted
+    triples through the CC map of a star-shaped sameas graph
+    (components = doc_id - doc_id % 5 groups; representative = the
+    head, which is the string-min member). Exercises
+    canonicalize_triples — the triples_canon pipeline stage — in the
+    driver gate."""
+    from qendpoint_spark.entry_queries import _triples
+    from qendpoint_spark.linking import canonicalize_triples
+
+    docs = _docs(spark, sf_dir)
+    tri = _triples(spark, sf_dir)
+    sameas = docs.select(
+        F.concat(
+            F.lit(DOC_IRI), (F.col("doc_id") - F.col("doc_id") % 5).cast("string")
+        ).alias("iri_a"),
+        F.concat(F.lit(DOC_IRI), F.col("doc_id").cast("string")).alias("iri_b"),
+    )
+    return canonicalize_triples(tri, sameas)
+
+
 def q_quality_filter(spark, sf_dir):
     """Training-data filtering: keep documents passing the quality
     gate (the dedup/filter step a pretraining pipeline applies)."""
@@ -248,7 +308,9 @@ OPS_QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "dedup_embedding_lsh": q_embed_dup_lsh,
     "kg_entity_link": q_entity_link,
+    "kg_entity_link_blocked": q_entity_link_blocked,
     "kg_canonicalize_cc": q_canonicalize_cc,
+    "kg_canonical_triples": q_canonical_triples,
     "quality_filter": q_quality_filter,
     "dedup_keepers": q_dedup_keepers,
     "dedup_minhash_accuracy": q_minhash_accuracy,
@@ -748,6 +810,52 @@ SELECT e.doc_a, e.doc_b, e.jaccard,
 FROM exact e
 JOIN sig a ON a.doc_id = e.doc_a
 JOIN sig b ON b.doc_id = e.doc_b""",
+    "kg_canonical_triples": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) >= 4
+),
+triples AS (
+  SELECT DISTINCT s, p, o FROM (
+    SELECT 'http://example.org/doc/' || doc_id AS s,
+           'http://example.org/prop/lang' AS p,
+           '"' || lang || '"@' || lang AS o
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/source', '"' || source || '"'
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/nchars',
+           '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/mentions',
+           'http://example.org/ent/' || tok
+    FROM toks
+    UNION ALL
+    SELECT DISTINCT 'http://example.org/ent/' || tok,
+           'http://example.org/prop/label', '"' || tok || '"'
+    FROM toks
+  )
+)
+SELECT DISTINCT
+  CASE WHEN s LIKE 'http://example.org/doc/%'
+       THEN 'http://example.org/doc/' ||
+            (CAST(substring(s, 24) AS BIGINT)
+             - CAST(substring(s, 24) AS BIGINT) % 5)
+       ELSE s END AS s,
+  p,
+  CASE WHEN o LIKE 'http://example.org/doc/%'
+       THEN 'http://example.org/doc/' ||
+            (CAST(substring(o, 24) AS BIGINT)
+             - CAST(substring(o, 24) AS BIGINT) % 5)
+       ELSE o END AS o
+FROM triples""",
     "kg_canonicalize_cc": """
 WITH g AS (
   SELECT doc_id, doc_id - doc_id % 5 AS head FROM documents
@@ -757,3 +865,6 @@ SELECT 'http://example.org/doc/' || g.doc_id AS node,
        'http://example.org/doc/' || g.head AS component
 FROM g JOIN sizes USING (head) WHERE sizes.n > 1""",
 }
+# the blocked (repartition-join) linking path must produce the exact
+# same result as the broadcast plan — one oracle serves both
+OPS_ORACLES["kg_entity_link_blocked"] = OPS_ORACLES["kg_entity_link"]
