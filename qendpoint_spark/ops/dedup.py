@@ -199,16 +199,28 @@ def simhash_table(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def embedding_dup_pairs_lsh(
-    embeddings: DataFrame, min_cos: float = 0.3
+    embeddings: DataFrame,
+    min_cos: float = 0.3,
+    bits: int | None = None,
+    tables: int | None = None,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors with HYPERPLANE-LSH blocking — the
     at-scale replacement for label blocking (a hot label's block goes
     quadratic; an LSH bucket's size is corpus/2^bits per table by
-    construction). Candidates = pairs sharing any of the LSH_TABLES
-    signature buckets (similarity.HYPERPLANES, shared literals with the
-    SQL oracle), then exact quantized cosine >= min_cos."""
-    from qendpoint_spark.ops.similarity import LSH_TABLES, lsh_signature
+    construction). Candidates = pairs sharing any of the `tables`
+    signature buckets (defaults: similarity.HYPERPLANES, shared
+    literals with the SQL oracle), then exact quantized cosine >=
+    min_cos. Size bits ~ log2(n_vectors) - 8 to keep bucket cliques
+    bounded (similarity.make_hyperplanes generates larger plane sets)."""
+    from qendpoint_spark.ops.similarity import (
+        LSH_BITS,
+        LSH_TABLES,
+        lsh_signature,
+    )
 
+    bits = LSH_BITS if bits is None else bits
+    tables = LSH_TABLES if tables is None else tables
     q = embeddings.select(
         "vec_id",
         F.transform(
@@ -216,14 +228,15 @@ def embedding_dup_pairs_lsh(
             lambda x: F.round(x.cast("double") * QUANT).cast("long"),
         ).alias("qv"),
     )
-    tables = [
+    per_table = [
         q.select(
-            "vec_id", F.lit(t).alias("tbl"), lsh_signature("qv", t).alias("bucket")
+            "vec_id", F.lit(t).alias("tbl"),
+            lsh_signature("qv", t, bits=bits, planes=planes).alias("bucket"),
         )
-        for t in range(LSH_TABLES)
+        for t in range(tables)
     ]
-    buckets = tables[0]
-    for df in tables[1:]:
+    buckets = per_table[0]
+    for df in per_table[1:]:
         buckets = buckets.unionByName(df)
     a = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")

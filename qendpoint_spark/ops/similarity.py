@@ -89,6 +89,20 @@ def brute_force_topk(
     )
 
 
+def make_hyperplanes(
+    n_planes: int, dim: int = 64, seed: int = 20260816
+) -> list[list[int]]:
+    """Seeded integer hyperplanes for any (tables x bits) sizing — the
+    generator behind the shipped HYPERPLANES literals. At corpus scale
+    bits/table must grow ~log2(n) to keep bucket sizes (n / 2^bits)
+    in the operator's design envelope; regenerate with a larger
+    n_planes and pass through `planes=`."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(-99, 100, size=(n_planes, dim)).tolist()
+
+
 def _hyperplane_dot(col: str, plane: list[int]):
     lit = F.array(*[F.lit(v).cast("long") for v in plane])
     return F.aggregate(
@@ -98,12 +112,18 @@ def _hyperplane_dot(col: str, plane: list[int]):
     )
 
 
-def lsh_signature(col: str, table: int):
-    """BITS-bit sign signature of quantized vector `col` in hash table
-    `table` — bit j set iff dot(v, hyperplane[table*BITS+j]) >= 0."""
+def lsh_signature(
+    col: str,
+    table: int,
+    bits: int = LSH_BITS,
+    planes: list[list[int]] | None = None,
+):
+    """bits-wide sign signature of quantized vector `col` in hash table
+    `table` — bit j set iff dot(v, plane[table*bits+j]) >= 0."""
+    hp = planes if planes is not None else HYPERPLANES
     sig = F.lit(0)
-    for j in range(LSH_BITS):
-        plane = HYPERPLANES[table * LSH_BITS + j]
+    for j in range(bits):
+        plane = hp[table * bits + j]
         sig = sig + F.when(
             _hyperplane_dot(col, plane) >= 0, F.lit(1 << j)
         ).otherwise(F.lit(0))
@@ -111,7 +131,12 @@ def lsh_signature(col: str, table: int):
 
 
 def lsh_bucketed_topk(
-    embeddings: DataFrame, query_mod: int = 97, k: int = 5
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 5,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """Same contract as brute_force_topk but candidates restricted to
     the union of the query's LSH_TABLES hyperplane-signature buckets.
@@ -121,16 +146,15 @@ def lsh_bucketed_topk(
     (query, neighbor) pairs that collide in several tables first, so
     each candidate's dot product is computed once."""
     q = _quantized(embeddings)
-    tables = []
-    for t in range(LSH_TABLES):
-        tables.append(
-            q.select(
-                "vec_id", "qv", F.lit(t).alias("tbl"),
-                lsh_signature("qv", t).alias("bucket"),
-            )
+    per_table = [
+        q.select(
+            "vec_id", "qv", F.lit(t).alias("tbl"),
+            lsh_signature("qv", t, bits=bits, planes=planes).alias("bucket"),
         )
-    buckets = tables[0]
-    for df in tables[1:]:
+        for t in range(tables)
+    ]
+    buckets = per_table[0]
+    for df in per_table[1:]:
         buckets = buckets.unionByName(df)
     queries = buckets.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"

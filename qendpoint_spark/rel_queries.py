@@ -155,6 +155,27 @@ def q_setops_intersect_except(spark, sf_dir):
     return both.unionByName(only_orders)
 
 
+def q_scalar_subquery_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar aggregate subquery — revenue
+    of lineitems below 20% of their part's average quantity. The
+    subquery materializes as a per-part aggregate joined back (AQE
+    broadcasts it when small). Quantities are integral, so the 0.2*avg
+    comparison is exact integer arithmetic (qty*5*cnt < sum_qty)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty", F.col("l_quantity").cast("long")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     """Batch sessionization: lag + gap-flag + cumulative session id —
     the window-chain idiom (streaming twin: session_window)."""
@@ -241,6 +262,7 @@ REL_QUERIES = {
     "rel_window_running_balance": q_window_running_balance,
     "rel_setops_customer_segments": q_setops_customer_segments,
     "rel_exists_late_orders": q_exists_late_orders,
+    "rel_scalar_subquery_small_qty": q_scalar_subquery_small_qty,
     "rel_setops_intersect_except": q_setops_intersect_except,
     "rel_rollup_order_stats": q_rollup_order_stats,
     "rel_sessionize_events": q_sessionize_events,
@@ -301,6 +323,19 @@ WHERE EXISTS (
   WHERE l_orderkey = o_orderkey AND l_discount > 0.05
 )
 GROUP BY o_orderpriority""",
+    "rel_scalar_subquery_small_qty": """
+WITH q AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem
+),
+pp AS (
+  SELECT l_partkey, sum(qty)::BIGINT AS sum_qty, count(*) AS cnt
+  FROM q GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_small,
+       round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM q JOIN pp USING (l_partkey)
+WHERE qty * 5 * cnt < sum_qty""",
     "rel_setops_intersect_except": """
 WITH with_orders AS (
   SELECT c_custkey AS key FROM customer
