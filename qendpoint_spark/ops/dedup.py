@@ -101,15 +101,16 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    from qendpoint_spark.ops.textstats import round6_exact
+
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
+            round6_exact(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -37,6 +37,24 @@ def _hash8(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def round6_exact(numer, denom):
+    """round(numer/denom, 6) with EXACT integer half-up rounding:
+    (numer*2e6 + denom) div (2*denom) / 1e6. `round(double, 6)` is NOT
+    cross-engine stable when the true ratio lands exactly on a half at
+    the 7th decimal (e.g. 0.96 * 91/96 * 27/96 = 0.2559375 — Spark's
+    BigDecimal HALF_UP says ...938, DuckDB's float path says ...937;
+    found by running the oracle sweep at sf0.1). Both inputs must be
+    integral and non-negative with numer*2e6 < 2^53 (the subtraction
+    below makes the long division exact through doubles). DuckDB twin:
+    ((numer)*2000000 + (denom)) // (2*(denom)) / 1000000.0"""
+    x = numer.cast("long") * F.lit(2000000) + denom.cast("long")
+    y = denom.cast("long") * F.lit(2)
+    # exact integer division via pmod: (x - x mod y) is an exact
+    # multiple of y, and IEEE division of exact multiples is exact
+    q = (x - F.pmod(x, y)) / y
+    return q / F.lit(1000000.0)
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex token count per document."""
     toks = _tokens(F.col("text"))
@@ -70,20 +88,24 @@ def text_stats(documents: DataFrame) -> DataFrame:
         n_distinct.alias("n_distinct"),
         sum_len.alias("sum_token_len"),
     )
-    nz = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    nz = F.greatest(F.col("n_tokens"), F.lit(1))
+    # quality = min(n,100)/100 * (1 - stop/n) * (distinct/n), emitted
+    # through the exact rational: min(n,100)*(n-stop)*distinct
+    # over 100*nz*nz (all integers -> round6_exact is engine-stable)
+    q_num = (
+        F.least(F.col("n_tokens"), F.lit(100))
+        * (nz - F.col("n_stopwords"))
+        * F.col("n_distinct")
+    )
+    q_den = F.lit(100) * nz * nz
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("sum_token_len") / nz, 6).alias("avg_token_len"),
-        F.round(F.col("n_stopwords") / nz, 6).alias("stopword_ratio"),
-        F.round(F.col("n_distinct") / nz, 6).alias("distinct_ratio"),
+        round6_exact(F.col("sum_token_len"), nz).alias("avg_token_len"),
+        round6_exact(F.col("n_stopwords"), nz).alias("stopword_ratio"),
+        round6_exact(F.col("n_distinct"), nz).alias("distinct_ratio"),
         # fixed quality formula: long-enough, diverse, not stopword-soup
-        F.round(
-            F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
-            * (F.lit(1.0) - F.col("n_stopwords") / nz)
-            * (F.col("n_distinct") / nz),
-            6,
-        ).alias("quality_score"),
+        round6_exact(q_num, q_den).alias("quality_score"),
     )
 
 

@@ -320,6 +320,13 @@ OPS_QUERIES = {
 
 _H8 = "('0x' || substring(md5({x}), 1, 8))::BIGINT"
 
+
+def _q6(numer: str, denom: str) -> str:
+    """SQL twin of textstats.round6_exact: exact integer half-up
+    rounding of numer/denom at 6 decimals (round(double, 6) diverges
+    across engines on exact .5 boundaries at the 7th decimal)."""
+    return f"((({numer}) * 2000000 + ({denom})) // (2 * ({denom})) / 1000000.0)"
+
 _MH_COLS = ", ".join(
     "min(('0x' || substring(md5(shingle || '#%d'), 1, 8))::BIGINT) AS mh%d"
     % (i, i)
@@ -576,12 +583,11 @@ base AS (
   FROM toks
 )
 SELECT doc_id, n_tokens,
-       round(sum_token_len / greatest(n_tokens, 1)::DOUBLE, 6) AS avg_token_len,
-       round(n_stopwords / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
-       round(n_distinct / greatest(n_tokens, 1)::DOUBLE, 6) AS distinct_ratio,
-       round(least(n_tokens::DOUBLE / 100.0, 1.0)
-             * (1.0 - n_stopwords / greatest(n_tokens, 1)::DOUBLE)
-             * (n_distinct / greatest(n_tokens, 1)::DOUBLE), 6) AS quality_score
+       {_q6('sum_token_len', 'greatest(n_tokens, 1)')} AS avg_token_len,
+       {_q6('n_stopwords', 'greatest(n_tokens, 1)')} AS stopword_ratio,
+       {_q6('n_distinct', 'greatest(n_tokens, 1)')} AS distinct_ratio,
+       {_q6('least(n_tokens, 100) * (greatest(n_tokens, 1) - n_stopwords) * n_distinct',
+            '100 * greatest(n_tokens, 1) * greatest(n_tokens, 1)')} AS quality_score
 FROM base""",
     "token_counts": f"""
 WITH {_TOKS}
@@ -623,11 +629,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+       {_q6('n_common', 'sa.n_sh + sb.n_sh - n_common')} AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.5""",
+WHERE {_q6('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5""",
     "dedup_minhash_signatures": f"""
 WITH {_SHINGLES}
 SELECT doc_id, {_MH_COLS}
@@ -763,9 +769,8 @@ base AS (
 ),
 scored AS (
   SELECT doc_id, n_tokens,
-         round(least(n_tokens::DOUBLE / 100.0, 1.0)
-               * (1.0 - n_stopwords / greatest(n_tokens, 1)::DOUBLE)
-               * (n_distinct / greatest(n_tokens, 1)::DOUBLE), 6) AS quality_score
+         {_q6('least(n_tokens, 100) * (greatest(n_tokens, 1) - n_stopwords) * n_distinct',
+              '100 * greatest(n_tokens, 1) * greatest(n_tokens, 1)')} AS quality_score
   FROM base
 )
 SELECT doc_id, n_tokens, quality_score FROM scored
@@ -798,11 +803,11 @@ common AS (
 ),
 exact AS (
   SELECT doc_a, doc_b,
-         round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+         {_q6('n_common', 'sa.n_sh + sb.n_sh - n_common')} AS jaccard
   FROM common
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= 0.5
+  WHERE {_q6('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5
 )
 SELECT e.doc_a, e.doc_b, e.jaccard,
        round(({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16))})
