@@ -101,6 +101,15 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
+        if partition_by and not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(tmp) for f in fs
+        ):
+            # empty frame + partitionBy writes NO data files (not even
+            # a schema), leaving the table unreadable; rewrite the
+            # empty table unpartitioned so the schema is preserved
+            # (the reference's empty1.nt case)
+            df.write.mode("overwrite").parquet(tmp)
         # per-partition lineage rows (FIXTURES.md §8) from parquet footer
         # metadata — no extra Spark job over the data (footers only; an
         # Iceberg catalog would expose the same via its manifest files).

@@ -63,3 +63,30 @@ def test_pipeline_with_link_and_canon(spark, tmp_path):
         alias_dict=alias, sameas=sameas,
     )
     assert all(s.resumed for s in rep2.stages)
+
+
+def test_pipeline_empty_corpus(spark, tmp_path):
+    """empty1.nt analog: a 0-row documents table must flow through
+    every stage (extract -> dictionary -> encode -> indexes -> header)
+    committing empty tables, not erroring."""
+    from pyspark.sql import types as T
+
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import run_pipeline
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    report = run_pipeline(spark, cat, source_df=empty, source_kind="documents",
+                          source_fingerprint="empty", num_partitions=2)
+    assert report.n_triples == 0
+    assert cat.read("dict_terms").count() == 0
+    assert cat.read("triples_spo").count() == 0
+    hdr = cat.read("header").collect()[0]
+    assert hdr.n_triples == 0 and hdr.n_distinct_subjects == 0
