@@ -155,6 +155,37 @@ def q_setops_intersect_except(spark, sf_dir):
     return both.unionByName(only_orders)
 
 
+def q_ntile_quartiles(spark, sf_dir):
+    """NTILE window shape: quartile of each order within its priority
+    class by totalprice (deterministic: orderkey tie-break), plus the
+    per-quartile aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    q = orders.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+def q_lead_lag_gaps(spark, sf_dir):
+    """LEAD window shape: per-user inter-event gap in seconds (the
+    sessionize building block exposed as its own operator); last event
+    per user has no successor and reports -1."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    nxt = F.lead(epoch, 1).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(nxt - epoch, F.lit(-1)).cast("long").alias("gap_s"),
+    )
+
+
 def q_scalar_subquery_small_qty(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar aggregate subquery — revenue
     of lineitems below 20% of their part's average quantity. The
@@ -263,6 +294,8 @@ REL_QUERIES = {
     "rel_setops_customer_segments": q_setops_customer_segments,
     "rel_exists_late_orders": q_exists_late_orders,
     "rel_scalar_subquery_small_qty": q_scalar_subquery_small_qty,
+    "rel_ntile_quartiles": q_ntile_quartiles,
+    "rel_lead_lag_gaps": q_lead_lag_gaps,
     "rel_setops_intersect_except": q_setops_intersect_except,
     "rel_rollup_order_stats": q_rollup_order_stats,
     "rel_sessionize_events": q_sessionize_events,
@@ -323,6 +356,24 @@ WHERE EXISTS (
   WHERE l_orderkey = o_orderkey AND l_discount > 0.05
 )
 GROUP BY o_orderpriority""",
+    "rel_ntile_quartiles": """
+WITH q AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority, quartile, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total,
+       min(o_orderkey) AS first_key
+FROM q GROUP BY 1, 2""",
+    "rel_lead_lag_gaps": """
+SELECT user_id, event_id,
+       coalesce(
+         lead(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+         - floor(epoch(ts))::BIGINT, -1)::BIGINT AS gap_s
+FROM events""",
     "rel_scalar_subquery_small_qty": """
 WITH q AS (
   SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
