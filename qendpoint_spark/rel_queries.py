@@ -277,6 +277,44 @@ def q_stream_ingest_compact(spark, sf_dir):
     return compact_staging(spark, f"{base}/staging")
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """applyInPandasWithState in the driver gate: documents reshaped as
+    pages with a planted recrawl (two warc_ts per url), drained through
+    the cross-batch first-seen dedup — each url must emit exactly once
+    with the EARLIEST crawl and n_seen=2. Any state loss, replay
+    double-emit, or wrong-row pick hash-fails."""
+    import tempfile
+
+    from qendpoint_spark.streaming.stateful import (
+        read_first_seen,
+        stream_first_seen_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    first = docs.select(
+        F.concat(F.lit("http://example.org/page/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("html"),
+        "text",
+        "lang",
+    )
+    recrawl = first.withColumn(
+        "warc_ts", F.lit("2026-02-01 00:00:00").cast("timestamp")
+    )
+    base = tempfile.mkdtemp(prefix="qs_fs_")
+    first.unionByName(recrawl).write.mode("overwrite").parquet(
+        f"{base}/landing/d1.parquet"
+    )
+    stream_first_seen_pages(spark, f"{base}/landing", f"{base}/out", f"{base}/ckpt")
+    out = read_first_seen(spark, f"{base}/out")
+    return out.select(
+        "url",
+        F.col("warc_ts").cast("timestamp").cast("long").alias("first_epoch"),
+        "lang",
+        F.col("n_seen").cast("long").alias("n_seen"),
+    )
+
+
 def q_stream_events_window(spark, sf_dir):
     """Structured Streaming watermarked tumbling window (availableNow
     drain == batch GROUP BY; oracle is the batch equivalent)."""
@@ -302,6 +340,7 @@ REL_QUERIES = {
     "stream_events_window": q_stream_events_window,
     "stream_sessionize_events": q_stream_sessionize,
     "stream_ingest_compact": q_stream_ingest_compact,
+    "stream_first_seen": q_stream_first_seen,
 }
 
 REL_ORACLES = {
@@ -439,6 +478,12 @@ SELECT floor(epoch(min(ts)))::BIGINT AS start_epoch,
        (floor(epoch(max(ts))) + 1800)::BIGINT AS end_epoch,
        user_id, count(*)::BIGINT AS n_events
 FROM sessions GROUP BY user_id, session_no""",
+    "stream_first_seen": """
+SELECT 'http://example.org/page/' || doc_id AS url,
+       floor(epoch(TIMESTAMP '2026-01-01 00:00:00'))::BIGINT AS first_epoch,
+       lang,
+       2::BIGINT AS n_seen
+FROM documents""",
     "stream_ingest_compact": """
 WITH pages AS (
   SELECT 'http://example.org/page/' || doc_id AS u, text, lang
