@@ -67,7 +67,16 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
        order, so per-section ranks fall out by subtracting the section's
        cumulative offset (4 numbers collected to the driver).
     """
-    sectioned = role_sections(triples_str)
+    return rank_sections(role_sections(triples_str), num_partitions=num_partitions)
+
+
+def rank_sections(sectioned: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(term, sec_key) -> dict_terms(term, section, sec_rank, id): the
+    ranking half of build_dictionary, factored out so dictionary MERGES
+    (merge/kcat.py) can rank a section table derived from input
+    dictionaries' term tables directly — no triple decode, cost
+    ∝ |terms| (KCatMerger merges sorted dictionary sections the same
+    way, KCatMerger.java:49-511)."""
     ranked = zip_with_rank(
         sectioned, ["sec_key", "term"], "grank", num_partitions=num_partitions
     )
@@ -137,6 +146,48 @@ def role_sections(triples_str: DataFrame) -> DataFrame:
         .groupBy("term", "ns")
         .agg(F.max(F.when(F.col("f") == 1, 1).otherwise(0)).alias("is_s"),
              F.max(F.when(F.col("f") == 2, 1).otherwise(0)).alias("is_o"))
+    )
+    return roles.select(
+        "term",
+        F.when(F.col("ns") == 1, F.lit(3))
+        .when(F.col("ns") == 2, F.lit(4))
+        .when((F.col("is_s") == 1) & (F.col("is_o") == 1), F.lit(0))
+        .when(F.col("is_s") == 1, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("sec_key"),
+    )
+
+
+def merge_role_sections(dicts: list[DataFrame]) -> DataFrame:
+    """(term, sec_key) for the UNION of k dictionaries' term tables —
+    the merge analog of role_sections that never touches triples.
+
+    Each input dictionary row already encodes the term's roles
+    (SH = subject+object, S = subject-only, O = object-only; P/G are
+    separate namespaces), so the merged section split is a groupBy(term)
+    max() over role flags recovered from the section labels — exactly
+    the co-scan KCatMerger does over the k sorted section streams
+    (KCatMerger.java:49-511), as one map-side-combined aggregation.
+    Cost ∝ Σ|terms_i|, independent of triple count.
+    """
+    facts = None
+    for d in dicts:
+        f = d.select(
+            "term",
+            F.when(F.col("section") == SECTION_PREDICATE, F.lit(1))
+            .when(F.col("section") == SECTION_GRAPH, F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("ns"),
+            F.when(F.col("section").isin(SECTION_SHARED, SECTION_SUBJECT), 1)
+            .otherwise(0)
+            .alias("is_s"),
+            F.when(F.col("section").isin(SECTION_SHARED, SECTION_OBJECT), 1)
+            .otherwise(0)
+            .alias("is_o"),
+        )
+        facts = f if facts is None else facts.unionByName(f)
+    roles = facts.groupBy("term", "ns").agg(
+        F.max("is_s").alias("is_s"), F.max("is_o").alias("is_o")
     )
     return roles.select(
         "term",

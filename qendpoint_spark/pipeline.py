@@ -252,10 +252,15 @@ def incremental_update(
     CatTreeImpl.doGenerationSync: build a chunk HDT, then cat it with
     the accumulated one). The batch is extracted + dictionary-encoded
     in its OWN ID space, merged with the published dataset through the
-    golden-cat path (decode -> union -> re-rank -> re-encode), and the
-    dict/SPO/OPS tables are atomically republished. Identity proven in
-    tests: pipeline(A) + incremental_update(B) == pipeline(A ∪ B).
+    KCat id-remap path (merge/kcat.py: merged dictionary from the term
+    tables, integer remap joins for the triples), and dict/SPO/OPS plus
+    EVERY derived table the pipeline may have published (PSO, predicate
+    /object stats, header) are republished — a merge that left stats
+    describing the pre-merge dataset would silently mis-plan every
+    subsequent ?P? scan. Identity proven in tests:
+    pipeline(A) + incremental_update(B) == pipeline(A ∪ B).
     """
+    from qendpoint_spark.encoding import build_header
     from qendpoint_spark.merge import merge_datasets
 
     t_start = time.time()
@@ -273,6 +278,12 @@ def incremental_update(
          (new_enc, new_dict)],
         num_partitions=num_partitions,
     )
+    # The merged-triples plan lazily reads the CURRENT published
+    # tables, which the republish below overwrites — materialize first.
+    # (A versioned table format — Iceberg snapshots — would let the new
+    # version be written while readers pin the old one; the os.rename
+    # Catalog has no snapshots, so the cut is explicit here.)
+    merged_triples = merged_triples.localCheckpoint(eager=True)
     fp = _fingerprint("incremental", source_kind, batch_fingerprint)
     report.stages.append(
         catalog.write_stage(
@@ -292,14 +303,51 @@ def incremental_update(
     )
     report.stages.append(res)
     report.n_triples = res.rows
+    triples_spo = catalog.read("triples_spo")
     report.stages.append(
         catalog.write_stage(
             "triples_ops",
-            ops_table(catalog.read("triples_spo"), num_partitions=num_partitions),
+            ops_table(triples_spo, num_partitions=num_partitions),
             fp,
             sort_cols=["o", "p", "s"],
             force=True,
         )
     )
+    # refresh every derived table that exists in the catalog so nothing
+    # keeps describing the pre-merge dataset
+    if os.path.exists(catalog.table_path("triples_pso")):
+        report.stages.append(
+            catalog.write_stage(
+                "triples_pso",
+                pso_table(triples_spo, num_partitions=num_partitions),
+                fp,
+                sort_cols=["p", "s", "o"],
+                force=True,
+            )
+        )
+    for name, fn in (
+        ("predicate_index", predicate_index),
+        ("object_index", object_index),
+    ):
+        if os.path.exists(catalog.table_path(name)):
+            report.stages.append(
+                catalog.write_stage(name, fn(triples_spo), fp, force=True)
+            )
+    if os.path.exists(catalog.table_path("header")):
+        from qendpoint_spark.encoding import decode_triples
+
+        merged_str = decode_triples(
+            triples_spo, catalog.read("dict_terms")
+        )
+        report.stages.append(
+            catalog.write_stage(
+                "header",
+                build_header(
+                    merged_str, catalog.read("dict_terms"), triples_spo
+                ),
+                fp,
+                force=True,
+            )
+        )
     report.wall_s = time.time() - t_start
     return report
