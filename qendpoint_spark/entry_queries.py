@@ -44,13 +44,14 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _CACHE_MAX = 24  # bounded: evict+unpersist oldest in long-lived sessions
 
 
-def _cache_put(key: tuple[int, str, str], df: DataFrame) -> DataFrame:
+def _cache_put(key: tuple[int, str, str], df) -> DataFrame:
     while len(_CACHE) >= _CACHE_MAX:
         old = _CACHE.pop(next(iter(_CACHE)))
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # session may already be gone
+        for item in old if isinstance(old, tuple) else (old,):
+            try:
+                item.unpersist()
+            except Exception:
+                pass  # session may already be gone
     _CACHE[key] = df
     return df
 
@@ -223,6 +224,111 @@ def q_kg_pattern_scan_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_pattern(spo_table(enc), ops_table(enc), s=1, p=1)
 
 
+def q_kg_pattern_scan_so(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S?O composite mask routed to the SOP table — both bound
+    components are SOP's LEADING sort keys, so both filters prune
+    (TripleComponentOrder mask matching; alternate-order index files
+    BitmapTriplesIndexFile.java:160-260). s = smallest doc subject of a
+    'mentions' (p=3) triple, o = its smallest mentioned entity."""
+    from qendpoint_spark.encoding.indexes import sorted_table
+    from qendpoint_spark.plans import scan_pattern
+
+    enc = _enc(spark, sf_dir)
+    ss = enc.filter(F.col("p") == 3).agg(F.min("s")).collect()[0][0]
+    oo = (
+        enc.filter((F.col("p") == 3) & (F.col("s") == ss))
+        .agg(F.min("o"))
+        .collect()[0][0]
+    )
+    return scan_pattern(
+        spo_table(enc), ops_table(enc), s=ss, o=oo, sop=sorted_table(enc, "sop")
+    )
+
+
+def q_kg_pattern_scan_po(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """?PO composite mask routed to the POS table (p,o leading keys):
+    p = 3 ('mentions'), o = the most-mentioned entity's object id —
+    stable because it is defined by the data, not the ID assignment."""
+    from qendpoint_spark.encoding.indexes import sorted_table
+    from qendpoint_spark.plans import scan_pattern
+
+    enc = _enc(spark, sf_dir)
+    oo = (
+        enc.filter(F.col("p") == 3)
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o"))
+        .limit(1)
+        .collect()[0][0]
+    )
+    return scan_pattern(
+        spo_table(enc), ops_table(enc), p=3, o=oo, pos=sorted_table(enc, "pos")
+    )
+
+
+def q_kg_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six component-order materializations (SPO/SOP/PSO/POS/OSP/
+    OPS — TripleComponentOrder.java:41-61): each sorted table must
+    preserve the triple multiset exactly; one signature row per order."""
+    from qendpoint_spark.encoding.indexes import ORDERS, sorted_table
+
+    enc = _enc(spark, sf_dir)
+    parts = [
+        sorted_table(enc, order)
+        .select(F.lit(order).alias("ord"), "s", "p", "o")
+        .groupBy("ord")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.sum("s").alias("sum_s"),
+            F.sum("p").alias("sum_p"),
+            F.sum("o").alias("sum_o"),
+        )
+        for order in ORDERS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_kg_cat_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KCat (big base ⊕ small delta) through the
+    delta-proportional path (merge/incremental_cat.py): base = 98% of
+    the corpus, delta = the doc_id % 50 == 0 slice, each encoded in its
+    own ID space. The oracle encodes the full corpus directly, so the
+    breakpoint/step-function rank algebra must reproduce the
+    from-scratch ID assignment exactly (KCatImpl.java:370-420)."""
+    return _inc_merge(spark, sf_dir)[1]
+
+
+def q_kg_cat_incremental_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged dictionary from the same incremental merge — checks
+    section membership (incl. S->SH / O->SH migrations), per-section
+    ranks and global ids against the from-scratch build."""
+    return _inc_merge(spark, sf_dir)[0].select("term", "section", "sec_rank", "id")
+
+
+def _inc_merge(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir, "inc_merge")
+    if key not in _CACHE:
+        from qendpoint_spark.merge import merge_incremental
+
+        docs = _docs(spark, sf_dir)
+        parts = []
+        for keep_base in (True, False):
+            cond = (F.col("doc_id") % 50 != 0) if keep_base else (
+                F.col("doc_id") % 50 == 0
+            )
+            tri = extract_triples_from_documents(
+                docs.filter(cond)
+            ).localCheckpoint(eager=True)
+            d = build_dictionary(tri).localCheckpoint(eager=True)
+            parts.append((encode_triples(tri, d), d))
+        md, mt = merge_incremental(parts[0], parts[1])
+        _cache_put(key, (md.cache(), mt.cache()))
+    return _CACHE[key]
+
+
 def q_kg_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-pattern BGP (?doc mentions ?ent) ⋈ (?ent label ?label) through
     the cardinality-driven planner: PatternStats (the predicate_index
@@ -328,6 +434,11 @@ QUERIES = {
     "kg_decode_roundtrip": q_kg_decode_roundtrip,
     "kg_shared_section": q_kg_shared_section,
     "kg_cat_identity": q_kg_cat_identity,
+    "kg_cat_incremental": q_kg_cat_incremental,
+    "kg_cat_incremental_dict": q_kg_cat_incremental_dict,
+    "kg_pattern_scan_so": q_kg_pattern_scan_so,
+    "kg_pattern_scan_po": q_kg_pattern_scan_po,
+    "kg_sorted_orders": q_kg_sorted_orders,
     "kg_diff": q_kg_diff,
     "kg_bgp_join": q_kg_bgp_join,
     "kg_ntriples_ingest": q_kg_ntriples_ingest,
@@ -632,6 +743,28 @@ ORACLES = {
     "kg_shared_section": _KG_PRELUDE
     + "SELECT term, id FROM dict WHERE section = 'SH'",
     "kg_cat_identity": _CAT_ORACLE,
+    "kg_cat_incremental": _CAT_ORACLE,
+    "kg_cat_incremental_dict": _KG_PRELUDE
+    + "SELECT term, section, sec_rank, id FROM dict",
+    "kg_pattern_scan_so": _KG_PRELUDE
+    + """
+    , sel AS (SELECT min(s) AS ss FROM enc WHERE p = 3),
+    sel2 AS (SELECT min(o) AS oo FROM enc
+             WHERE p = 3 AND s = (SELECT ss FROM sel))
+    SELECT s, p, o FROM enc
+    WHERE s = (SELECT ss FROM sel) AND o = (SELECT oo FROM sel2)""",
+    "kg_pattern_scan_po": _KG_PRELUDE
+    + """
+    , sel AS (SELECT o AS oo FROM enc WHERE p = 3
+              GROUP BY o ORDER BY count(*) DESC, o ASC LIMIT 1)
+    SELECT s, p, o FROM enc WHERE p = 3 AND o = (SELECT oo FROM sel)""",
+    "kg_sorted_orders": _KG_PRELUDE
+    + """
+    SELECT ord, n_triples, sum_s, sum_p, sum_o
+    FROM (VALUES ('spo'),('sop'),('pso'),('pos'),('osp'),('ops')) AS t(ord),
+         (SELECT count(*) AS n_triples, sum(s)::BIGINT AS sum_s,
+                 sum(p)::BIGINT AS sum_p, sum(o)::BIGINT AS sum_o
+          FROM enc) AS a""",
     "kg_diff": _DIFF_ORACLE,
     "kg_bgp_join": _KG_PRELUDE
     + """

@@ -23,14 +23,27 @@ from pyspark.sql import functions as F
 
 def choose_order(s: int | None, p: int | None, o: int | None) -> str:
     """Pattern mask -> table (sort order) choice: route to the table
-    whose LEADING sort key is bound, so the pushed filter prunes."""
+    whose LEADING sort keys are bound, so the pushed filters prune
+    consecutive key prefixes (TripleComponentOrder mask matching,
+    core/enums/TripleComponentOrder.java:41-61 fireSearchOrderer).
+    Composite masks prefer a table where BOTH bound components lead:
+    S?O -> SOP (s,o are its first two keys), ?PO -> POS."""
+    if s is not None and o is not None and p is None:
+        return "sop"  # S?O: both bound keys lead SOP
     if s is not None:
-        return "spo"  # S??, SP?, SPO, S?O: leading subject prunes SPO
+        return "spo"  # S??, SP?, SPO: leading subject (+p second) prunes SPO
+    if p is not None and o is not None:
+        return "pos"  # ?PO: both bound keys lead POS
     if o is not None:
-        return "ops"  # ?PO, ??O: leading object prunes OPS
+        return "ops"  # ??O: leading object prunes OPS
     if p is not None:
         return "pso"  # ?P?: leading predicate prunes PSO
     return "spo"  # ???: sequential scan; predicate_index gives stats
+
+
+#: fallback chain when an alternate-order table was not materialized —
+#: same behavior as the reference when an index file is absent
+_FALLBACK = {"sop": "spo", "pos": "ops", "pso": "spo", "osp": "ops"}
 
 
 def scan_pattern(
@@ -40,15 +53,21 @@ def scan_pattern(
     p: int | None = None,
     o: int | None = None,
     pso: DataFrame | None = None,
+    sop: DataFrame | None = None,
+    pos: DataFrame | None = None,
+    osp: DataFrame | None = None,
 ) -> DataFrame:
     """Return matching (s,p,o) rows using the best-sorted table.
-    Without a PSO materialization, ?P? degrades to a filtered SPO scan
-    (correct, unpruned — the reference has the same fallback when an
-    alternate-order index was not generated)."""
+    Without an alternate-order materialization the mask degrades to the
+    nearest mandatory table (SPO/OPS) — correct, less pruned; the
+    reference has the same fallback when an alternate-order index was
+    not generated."""
+    tables = {"spo": spo, "ops": ops, "pso": pso, "sop": sop,
+              "pos": pos, "osp": osp}
     order = choose_order(s, p, o)
-    if order == "pso" and pso is None:
-        order = "spo"
-    df = {"spo": spo, "ops": ops, "pso": pso}[order]
+    if tables[order] is None:
+        order = _FALLBACK[order]
+    df = tables[order]
     for col, val in (("s", s), ("p", p), ("o", o)):
         if val is not None:
             df = df.filter(F.col(col) == val)

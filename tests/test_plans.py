@@ -151,3 +151,114 @@ def test_dictionary_agg_is_map_side_combined(spark, documents):
     tr = extract_triples_from_documents(documents).localCheckpoint(eager=True)
     plan = _plan(role_sections(tr))
     assert "partial_max" in plan, plan[:2000]
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle WRITE bytes across all completed stages, from the
+    app status store (the per-stage numbers the UI shows)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(), False, False,
+        sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+    )
+    return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+
+
+def test_incremental_merge_shuffle_scales_with_delta(spark):
+    """The KCat incremental path's defining property: merging the same
+    small delta into a 4x-larger base must NOT shuffle ~4x more bytes —
+    base triples and base terms are rewritten map-side (breakpoint step
+    functions), so shuffle scales with |delta| + O(partitions), not
+    |base|. Also: the incremental path must shuffle far less than the
+    general term-re-ranking merge on the same inputs."""
+    from qendpoint_spark.merge import merge_datasets, merge_incremental
+
+    def corpus(n):
+        df = (
+            spark.range(n)
+            .select(
+                F.concat(F.lit("http://example.org/e/"),
+                         (F.col("id") % (n // 3)).cast("string")).alias("s"),
+                F.concat(F.lit("http://example.org/p/"),
+                         (F.col("id") % 7).cast("string")).alias("p"),
+                F.concat(F.lit("http://example.org/e/"),
+                         ((F.col("id") * 31 + 7) % (n // 2)).cast("string")).alias("o"),
+            )
+            .distinct()
+        )
+        d = build_dictionary(df, num_partitions=8).localCheckpoint(eager=True)
+        return encode_triples(df, d).localCheckpoint(eager=True), d
+
+    def delta():
+        rows = [
+            (f"http://example.org/e/{i}", "http://example.org/p/new",
+             f"http://example.org/new/{i}")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string")
+        d = build_dictionary(df, num_partitions=2).localCheckpoint(eager=True)
+        return encode_triples(df, d).localCheckpoint(eager=True), d
+
+    base1, base4, b = corpus(30_000), corpus(120_000), delta()
+
+    def run_inc(base):
+        before = _shuffle_write_bytes(spark)
+        md, mt = merge_incremental(base, b)
+        n_terms, n_tri = md.count(), mt.count()
+        assert n_tri >= base[0].count()
+        return _shuffle_write_bytes(spark) - before
+
+    s1 = run_inc(base1)
+    s4 = run_inc(base4)
+    # delta-proportional: 4x base -> far less than 4x shuffle (allow
+    # 2x headroom for partition-count-proportional agg constants)
+    assert s4 < 2 * s1 + 1_000_000, (s1, s4)
+
+    before = _shuffle_write_bytes(spark)
+    md_g, mt_g, _ = merge_datasets([base4, b])
+    md_g.count(), mt_g.count()
+    s_general = _shuffle_write_bytes(spark) - before
+    # the general merge re-ranks the full term union (range shuffle of
+    # all base terms) — the incremental path must undercut it decisively
+    assert s4 < s_general / 2, (s4, s_general)
+
+
+def test_alternate_order_pushdown(spark, tmp_path, documents):
+    """SOP/POS/OSP written as range-sorted parquet: composite masks
+    route to them and push BOTH bound filters into the scan; ReadSchema
+    leads with the table's sort order."""
+    from qendpoint_spark.encoding.indexes import sorted_table
+
+    tr = extract_triples_from_documents(documents).localCheckpoint(eager=True)
+    d = build_dictionary(tr, num_partitions=4).localCheckpoint(eager=True)
+    enc = encode_triples(tr, d).localCheckpoint(eager=True)
+    tabs = {}
+    for order in ("spo", "ops", "sop", "pos", "osp"):
+        path = str(tmp_path / order)
+        sorted_table(enc, order, num_partitions=4).write.parquet(path)
+        tabs[order] = spark.read.parquet(path)
+
+    # S?O -> SOP, both filters pushed, schema leads (s,o,p)
+    q = scan_pattern(tabs["spo"], tabs["ops"], s=1, o=1, sop=tabs["sop"])
+    plan = _plan(q)
+    assert "struct<s:bigint,o:bigint,p:bigint>" in plan
+    assert "EqualTo(s,1)" in plan and "EqualTo(o,1)" in plan
+
+    # ?PO -> POS
+    q = scan_pattern(tabs["spo"], tabs["ops"], p=1, o=1, pos=tabs["pos"])
+    plan = _plan(q)
+    assert "struct<p:bigint,o:bigint,s:bigint>" in plan
+    assert "EqualTo(p,1)" in plan and "EqualTo(o,1)" in plan
+
+    # OSP leading-key scan prunes on o
+    plan = _plan(tabs["osp"].filter(F.col("o") == 1))
+    assert "struct<o:bigint,s:bigint,p:bigint>" in plan
+    assert "EqualTo(o,1)" in plan
+
+    # routing falls back to SPO/OPS when the alternate table is absent
+    assert choose_order(1, None, 1) == "sop"
+    assert choose_order(None, 1, 1) == "pos"
+    fb = scan_pattern(tabs["spo"], tabs["ops"], s=1, o=1)
+    assert "struct<s:bigint,p:bigint,o:bigint>" in _plan(fb)
