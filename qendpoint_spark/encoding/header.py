@@ -71,18 +71,51 @@ def build_header(triples_str: DataFrame, dict_terms: DataFrame, triples_id: Data
     )
 
 
+#: chars that must be escaped in an exported literal lexical form —
+#: symmetric with sources.ntriples._unescape_one (reference
+#: UnicodeEscape.escapeString via TripleWriterNtriples)
+_NT_SPECIAL_RE = '[\\\\"\\n\\r\\t\\x08\\f]'
+
+
+def _escape_literal(c):
+    """Escape the LEXICAL part of a literal term ('"lex"', '"lex"@lang',
+    '"lex"^^<dt>'): backslash, quote and control chars become their
+    \\-escapes so the emitted line is one well-formed N-Triples
+    statement. (?s) because the lexical form may contain newlines; the
+    greedy group ends at the LAST quote, so inner quotes stay in lex."""
+    lex = F.regexp_extract(c, '(?s)^"(.*)"([^"]*)$', 1)
+    suf = F.regexp_extract(c, '(?s)^"(.*)"([^"]*)$', 2)
+    esc = lex
+    for pat, rep in (
+        (r"\\", r"\\\\"),  # \ -> \\  (first, so later escapes survive)
+        ('"', r'\\"'),
+        ("\\n", r"\\n"),
+        ("\\r", r"\\r"),
+        ("\\t", r"\\t"),
+        ("\\x08", r"\\b"),
+        ("\\f", r"\\f"),
+    ):
+        esc = F.regexp_replace(esc, pat, rep)
+    return F.concat(F.lit('"'), esc, F.lit('"'), suf)
+
+
 def export_ntriples(triples_str: DataFrame) -> DataFrame:
     """HDT -> .nt line sink (TripleWriterNtriples / HDT2RDF analog,
     core/hdt/writer/TripleWriterNtriples.java): one N-Triples line per
-    statement; IRIs get angle brackets, literals/bnodes pass through.
+    statement; IRIs get angle brackets, bnodes pass through, literal
+    lexical forms are \\-escaped symmetrically with read_ntriples'
+    unescape (UnicodeEscape.escapeString) so export ∘ import is exact.
     Write with df.write.text(path)."""
 
     def term(col, obj=False):
-        is_lit = F.col(col).startswith('"')
-        is_bnode = F.col(col).startswith("_:")
+        c = F.col(col)
+        is_lit = c.startswith('"')
+        is_bnode = c.startswith("_:")
+        lit = F.when(c.rlike(_NT_SPECIAL_RE), _escape_literal(c)).otherwise(c)
         return (
-            F.when(is_lit | is_bnode, F.col(col))
-            .otherwise(F.concat(F.lit("<"), F.col(col), F.lit(">")))
+            F.when(is_lit, lit)
+            .when(is_bnode, c)
+            .otherwise(F.concat(F.lit("<"), c, F.lit(">")))
         )
 
     return triples_str.select(

@@ -68,18 +68,23 @@ def shingle_table(documents: DataFrame, k: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(
     documents: DataFrame, k: int = 3, threshold: float = 0.5,
-    max_df: int | None = 64,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs by inverted-index join + exact Jaccard filter.
     Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard).
 
-    max_df is the document-frequency cutoff on the inverted index: a
-    shingle occurring in more than max_df documents is dropped BEFORE
-    the self-join. Without it, one boilerplate shingle with df = 10^6
-    alone emits 5*10^11 candidate pairs — a skewed-key blowup AQE can
-    split but never shrink (the standard production-dedup guard; same
-    role as stop-shingle lists). Overlap counts then come from the
-    filtered index (common-only-via-hot-shingles pairs score lower —
+    max_df (OPT-IN; default None = exact) is the document-frequency
+    cutoff on the inverted index: a shingle occurring in more than
+    max_df documents is dropped BEFORE the self-join. Without it, one
+    boilerplate shingle with df = 10^6 alone emits 5*10^11 candidate
+    pairs — a skewed-key blowup AQE can split but never shrink (the
+    standard production-dedup guard; same role as stop-shingle lists).
+    It is opt-in because it silently LOSES recall: a pair overlapping
+    only via hot shingles (exact duplicates of boilerplate-heavy docs)
+    produces zero candidates even at true jaccard 1.0. At corpus scale
+    enable it deliberately, sized to the corpus (df cutoff ≫ expected
+    duplicate-cluster size). With it on, overlap counts come from the
+    filtered index (hot-shingle-only overlap scores lower —
     conservative), while set sizes n_a/n_b stay exact over the full
     shingle sets."""
     sh = shingle_table(documents, k)

@@ -66,7 +66,9 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+    # max_df=64 opt-in matches the oracle's df cutoff (the scale guard
+    # is deliberate here; the library default is exact/no-cutoff)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5, max_df=64)
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -248,7 +250,7 @@ def q_minhash_accuracy(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sig = minhash_signatures(docs, k=3)
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64).select(
         "doc_a", "doc_b", "jaccard"
     )
     a = sig.select(

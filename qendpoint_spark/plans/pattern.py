@@ -140,11 +140,18 @@ def scan_bgp(
     def leaf(pat):
         b = bound(pat)
         df = scan_pattern(spo, ops, pso=pso, **b)
-        cols = [
-            F.col(k).alias(v)
-            for k, v in parts(pat).items()
-            if isinstance(v, str)
-        ]
+        # a variable repeated WITHIN one pattern (e.g. ('x', 1, 'x'))
+        # means equality between those components: filter, then emit
+        # the variable's column ONCE (else downstream joins see a
+        # duplicate column name)
+        var_pos: dict[str, str] = {}
+        for k, v in parts(pat).items():
+            if isinstance(v, str):
+                if v in var_pos:
+                    df = df.filter(F.col(var_pos[v]) == F.col(k))
+                else:
+                    var_pos[v] = k
+        cols = [F.col(k).alias(v) for v, k in var_pos.items()]
         return df.select(*cols)
 
     remaining = list(patterns)

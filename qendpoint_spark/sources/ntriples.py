@@ -9,10 +9,13 @@ parsed file feeds build_dictionary/encode_triples unchanged.
 
 Escape handling: N-Triples allows raw UTF-8 AND \\uXXXX/\\UXXXXXXXX
 numeric escapes plus the string escapes \\t \\n \\r \\" \\\\ (reference
-UnicodeEscape.java). The unescape is a vectorized pandas UDF applied
-ONLY to terms that actually contain a backslash — the hot path (no
-escapes, the overwhelming majority of a real crawl) never leaves the
-JVM, and the escape path is Arrow-batched.
+UnicodeEscape.java). Lines are SPLIT into a no-backslash frame (term
+extraction stays entirely in the JVM — Catalyst would otherwise hoist
+a conditional UDF into an ArrowEvalPython node evaluated for every
+row) and an escaped frame whose terms run through one Arrow-batched
+pandas UDF; the union is the parse. Malformed numeric escapes pass
+through unchanged (per-term leniency, matching the parser's
+line-oriented leniency).
 
 Malformed lines, comments (#...) and blank lines are skipped, matching
 the reference parser's line-oriented leniency.
@@ -43,13 +46,19 @@ def _unescape_one(t: str) -> str:
         if c == "\\" and i + 1 < n:
             nxt = t[i + 1]
             if nxt == "u" and i + 6 <= n:
-                out.append(chr(int(t[i + 2 : i + 6], 16)))
-                i += 6
-                continue
+                try:  # malformed escape -> pass through (leniency)
+                    out.append(chr(int(t[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
             if nxt == "U" and i + 10 <= n:
-                out.append(chr(int(t[i + 2 : i + 10], 16)))
-                i += 10
-                continue
+                try:
+                    out.append(chr(int(t[i + 2 : i + 10], 16)))
+                    i += 10
+                    continue
+                except (ValueError, OverflowError):
+                    pass
             if nxt in _STRING_ESCAPES:
                 out.append(_STRING_ESCAPES[nxt])
                 i += 2
@@ -64,31 +73,54 @@ def _nt_unescape(s: pd.Series) -> pd.Series:
     return s.map(lambda t: _unescape_one(t) if t is not None else None)
 
 
-def _term_col(raw: str):
+def _term_col(raw: str, unescape: bool):
     c = F.col(raw)
-    # unescape only when needed; keeps the no-escape path JVM-only
-    c = F.when(c.contains("\\"), _nt_unescape(c)).otherwise(c)
+    if unescape:
+        c = _nt_unescape(c)
     # IRIs lose their angle brackets (internal form is the bare IRI)
     return F.when(
         c.startswith("<"), c.substr(F.lit(2), F.length(c) - 2)
     ).otherwise(c)
 
 
+def _parse_lines(lines: DataFrame) -> DataFrame:
+    """Tokenized lines -> (s,p,o): the no-backslash rows project with
+    pure JVM expressions; only rows containing an escape pass through
+    the Arrow-batched unescape UDF (split frames, because Catalyst
+    hoists a UDF out of a conditional and would run it on every row)."""
+    parsed = (
+        lines.select(
+            F.regexp_extract("value", _LINE, 1).alias("s_raw"),
+            F.regexp_extract("value", _LINE, 2).alias("p_raw"),
+            F.regexp_extract("value", _LINE, 3).alias("o_raw"),
+        )
+        .filter(
+            (F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != "")
+        )
+    )
+    has_esc = (
+        F.col("s_raw").contains("\\")
+        | F.col("p_raw").contains("\\")
+        | F.col("o_raw").contains("\\")
+    )
+
+    def project(df: DataFrame, unescape: bool) -> DataFrame:
+        return df.select(
+            _term_col("s_raw", unescape).alias("s"),
+            _term_col("p_raw", unescape).alias("p"),
+            _term_col("o_raw", unescape).alias("o"),
+        )
+
+    return project(parsed.filter(~has_esc), False).unionByName(
+        project(parsed.filter(has_esc), True)
+    )
+
+
 def read_ntriples(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Parse N-Triples file(s) (path, glob, or list of paths; Spark
     decompresses .gz/.bz2/... transparently) into triples_str(s, p, o).
     Distributed: one task per text split."""
-    lines = spark.read.text(path)
-    parsed = lines.select(
-        F.regexp_extract("value", _LINE, 1).alias("s_raw"),
-        F.regexp_extract("value", _LINE, 2).alias("p_raw"),
-        F.regexp_extract("value", _LINE, 3).alias("o_raw"),
-    ).filter((F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != ""))
-    return parsed.select(
-        _term_col("s_raw").alias("s"),
-        _term_col("p_raw").alias("p"),
-        _term_col("o_raw").alias("o"),
-    )
+    return _parse_lines(spark.read.text(path))
 
 
 # --- container sources + format guess ------------------------------------
@@ -158,13 +190,4 @@ def read_ntriples_dir(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", "*.nt*")
         .text(path)
     )
-    parsed = lines.select(
-        F.regexp_extract("value", _LINE, 1).alias("s_raw"),
-        F.regexp_extract("value", _LINE, 2).alias("p_raw"),
-        F.regexp_extract("value", _LINE, 3).alias("o_raw"),
-    ).filter((F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != ""))
-    return parsed.select(
-        _term_col("s_raw").alias("s"),
-        _term_col("p_raw").alias("p"),
-        _term_col("o_raw").alias("o"),
-    )
+    return _parse_lines(lines)

@@ -21,6 +21,9 @@ NT_FIXTURE = """# unicode + bnode fixture (reference unicodeTest.nt analog)
 _:b0 <http://example.org/p> "bnode subject row" .
 _:b0 <http://example.org/p> _:b1 .
 <http://example.org/s2> <http://example.org/p> "tab\\tand\\nnewline" .
+<http://example.org/s2> <http://example.org/p> "quote \\" inside" .
+<http://example.org/s2> <http://example.org/p> "back\\\\slash"@en .
+<http://example.org/s2> <http://example.org/p> "bad \\uZZZZ escape kept" .
 <http://example.org/s2> <http://example.org/p> "lang"@zh-hant .
 <http://example.org/s2> <http://example.org/p> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
 
@@ -38,12 +41,15 @@ def _write_fixture(tmp_path) -> str:
 def test_read_ntriples_terms(spark, tmp_path):
     tri = read_ntriples(spark, _write_fixture(tmp_path))
     rows = {(r.s, r.p, r.o) for r in tri.collect()}
-    assert len(rows) == 10
+    assert len(rows) == 13
     objs = {o for _, _, o in rows}
     assert '"nbsp literal"' in objs  # \\u00A0 decoded to NBSP
     assert '"汉字测试"' in objs  # raw UTF-8 passes through
     assert '"astral \U0001d11e clef"' in objs  # \\U astral decode
     assert '"tab\tand\nnewline"' in objs
+    assert '"quote " inside"' in objs  # \\" decoded to a raw inner quote
+    assert '"back\\slash"@en' in objs  # \\\\ decoded to one backslash
+    assert '"bad \\uZZZZ escape kept"' in objs  # malformed escape: lenient pass-through
     assert '"lang"@zh-hant' in objs
     assert "_:b1" in objs  # bnode object
     subs = {s for s, _, _ in rows}
@@ -72,12 +78,13 @@ def test_unicode_bnode_dictionary_roundtrip(spark, tmp_path):
 
 
 def test_export_reimport_identity(spark, tmp_path):
-    """export_ntriples of escape-free triples re-parses to the same
-    set (sink/source inverse pair on the engine's lexical forms)."""
-    tri = read_ntriples(spark, _write_fixture(tmp_path)).filter(
-        # terms containing characters export does not (yet) re-escape
-        ~(F.col("o").contains("\t") | F.col("o").contains("\n"))
-    ).localCheckpoint(eager=True)
+    """export_ntriples re-parses to the same set — INCLUDING literals
+    holding tabs, newlines, quotes and backslashes: export escapes them
+    symmetrically with the parser's unescape (sink/source inverse pair
+    on the engine's lexical forms)."""
+    tri = read_ntriples(spark, _write_fixture(tmp_path)).localCheckpoint(
+        eager=True
+    )
     out = tmp_path / "export"
     export_ntriples(tri).coalesce(1).write.mode("overwrite").text(str(out))
     back = read_ntriples(spark, str(out))

@@ -262,3 +262,19 @@ def test_alternate_order_pushdown(spark, tmp_path, documents):
     assert choose_order(None, 1, 1) == "pos"
     fb = scan_pattern(tabs["spo"], tabs["ops"], s=1, o=1)
     assert "struct<s:bigint,p:bigint,o:bigint>" in _plan(fb)
+
+
+def test_bgp_repeated_variable_in_pattern(spark):
+    """('x', p, 'x') implies s == o within the pattern: one output
+    column, equality applied (reflexive-edge query)."""
+    from qendpoint_spark.plans import scan_bgp
+
+    rows = [(1, 1, 1), (2, 1, 3), (4, 2, 4), (5, 2, 6)]
+    enc = spark.createDataFrame(rows, "s long, p long, o long")
+    got = scan_bgp(enc, enc, [("x", 1, "x")])
+    assert got.columns == ["x"]
+    assert {r.x for r in got.collect()} == {1}
+    # joined with a second pattern on the shared variable
+    got2 = scan_bgp(enc, enc, [("x", 1, "x"), ("x", 1, "y")])
+    assert sorted(got2.columns) == ["x", "y"]
+    assert {(r.x, r.y) for r in got2.collect()} == {(1, 1)}
