@@ -194,18 +194,20 @@ def q_kg_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """?P? pattern scan via the access-path planner — routed to the
     PSO-sorted table so the bound predicate is the LEADING sort key
     (pruned scan, PredicateIndexArray analog): p = the 'mentions'
-    predicate (id 3 — P section sorted: label<lang<mentions<nchars<
-    source, stable across SFs)."""
+    predicate (id 7 — P section sorted: crawldate<density<flag<
+    fromSource<label<lang<mentions<nchars<provenance<source, stable
+    across SFs)."""
     from qendpoint_spark.encoding import ops_table, pso_table, spo_table
     from qendpoint_spark.plans import scan_pattern
 
     enc = _enc(spark, sf_dir)
-    return scan_pattern(spo_table(enc), ops_table(enc), p=3, pso=pso_table(enc))
+    return scan_pattern(spo_table(enc), ops_table(enc), p=7, pso=pso_table(enc))
 
 
 def q_kg_pattern_scan_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """??O pattern via the OPS table: o = 1 (binary-smallest shared
-    term's object id)."""
+    """??O pattern via the OPS table: o = 1, the binary-smallest
+    shared term — now the provenance bnode _:b0 ('_' sorts before
+    'h'), exercising bnode SH membership."""
     from qendpoint_spark.encoding import ops_table, spo_table
     from qendpoint_spark.plans import scan_pattern
 
@@ -215,13 +217,13 @@ def q_kg_pattern_scan_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_pattern_scan_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SP? pattern via the SPO table: s = 1 (binary-smallest shared
-    term — an entity subject), p = 1 ('label', the only predicate on
-    entity subjects)."""
+    term — the provenance bnode _:b0), p = 4 ('fromSource', the only
+    predicate on provenance bnodes)."""
     from qendpoint_spark.encoding import ops_table, spo_table
     from qendpoint_spark.plans import scan_pattern
 
     enc = _enc(spark, sf_dir)
-    return scan_pattern(spo_table(enc), ops_table(enc), s=1, p=1)
+    return scan_pattern(spo_table(enc), ops_table(enc), s=1, p=4)
 
 
 def q_kg_pattern_scan_so(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,14 +231,14 @@ def q_kg_pattern_scan_so(spark: SparkSession, sf_dir: str) -> DataFrame:
     components are SOP's LEADING sort keys, so both filters prune
     (TripleComponentOrder mask matching; alternate-order index files
     BitmapTriplesIndexFile.java:160-260). s = smallest doc subject of a
-    'mentions' (p=3) triple, o = its smallest mentioned entity."""
+    'mentions' (p=7) triple, o = its smallest mentioned entity."""
     from qendpoint_spark.encoding.indexes import sorted_table
     from qendpoint_spark.plans import scan_pattern
 
     enc = _enc(spark, sf_dir)
-    ss = enc.filter(F.col("p") == 3).agg(F.min("s")).collect()[0][0]
+    ss = enc.filter(F.col("p") == 7).agg(F.min("s")).collect()[0][0]
     oo = (
-        enc.filter((F.col("p") == 3) & (F.col("s") == ss))
+        enc.filter((F.col("p") == 7) & (F.col("s") == ss))
         .agg(F.min("o"))
         .collect()[0][0]
     )
@@ -247,14 +249,14 @@ def q_kg_pattern_scan_so(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_pattern_scan_po(spark: SparkSession, sf_dir: str) -> DataFrame:
     """?PO composite mask routed to the POS table (p,o leading keys):
-    p = 3 ('mentions'), o = the most-mentioned entity's object id —
+    p = 7 ('mentions'), o = the most-mentioned entity's object id —
     stable because it is defined by the data, not the ID assignment."""
     from qendpoint_spark.encoding.indexes import sorted_table
     from qendpoint_spark.plans import scan_pattern
 
     enc = _enc(spark, sf_dir)
     oo = (
-        enc.filter(F.col("p") == 3)
+        enc.filter(F.col("p") == 7)
         .groupBy("o")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("o"))
@@ -262,7 +264,7 @@ def q_kg_pattern_scan_po(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
     return scan_pattern(
-        spo_table(enc), ops_table(enc), p=3, o=oo, pos=sorted_table(enc, "pos")
+        spo_table(enc), ops_table(enc), p=7, o=oo, pos=sorted_table(enc, "pos")
     )
 
 
@@ -348,10 +350,35 @@ def q_kg_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_bgp(
         spo_table(enc),
         ops_table(enc),
-        [("doc", 3, "ent"), ("ent", 1, "label")],
+        [("doc", 7, "ent"), ("ent", 5, "label")],
         stats=stats,
         pso=pso_table(enc),
     )
+
+
+def q_kg_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-pattern STAR on the doc subject: (?doc mentions ?ent) ⋈
+    (?doc lang ?lang) ⋈ (?doc nchars ?nc). The stats-driven planner
+    picks build/probe sides per join (small side broadcast — asserted
+    in tests/test_plans.py) and propagates the |A||B|/max(V) estimate
+    across the star."""
+    from qendpoint_spark.encoding import (
+        ops_table,
+        predicate_index,
+        pso_table,
+        spo_table,
+    )
+    from qendpoint_spark.plans import PatternStats, scan_bgp
+
+    enc = _enc(spark, sf_dir)
+    stats = PatternStats(predicate_index(enc))
+    return scan_bgp(
+        spo_table(enc),
+        ops_table(enc),
+        [("doc", 7, "ent"), ("doc", 6, "lang"), ("doc", 8, "nc")],
+        stats=stats,
+        pso=pso_table(enc),
+    ).select("doc", "ent", "lang", "nc")
 
 
 def q_kg_ntriples_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +468,7 @@ QUERIES = {
     "kg_sorted_orders": q_kg_sorted_orders,
     "kg_diff": q_kg_diff,
     "kg_bgp_join": q_kg_bgp_join,
+    "kg_bgp_star": q_kg_bgp_star,
     "kg_ntriples_ingest": q_kg_ntriples_ingest,
 }
 
@@ -472,6 +500,36 @@ def _triples_cte(name: str, where: str = "") -> str:
     SELECT 'http://example.org/doc/' || doc_id,
            'http://example.org/prop/nchars',
            '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    FROM documents{w}
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/crawldate',
+           '"2024-' || lpad(((doc_id % 12) + 1)::VARCHAR, 2, '0') || '-'
+                    || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                    || '"^^<http://www.w3.org/2001/XMLSchema#date>'
+    FROM documents{w}
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/density',
+           '"' || (n_chars // 100)::VARCHAR || '.'
+               || lpad((n_chars % 100)::VARCHAR, 2, '0')
+               || '"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+    FROM documents{w}
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/flag',
+           '"' || CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'false' END
+               || '"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    FROM documents{w}
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/provenance',
+           '_:b' || doc_id
+    FROM documents{w}
+    UNION ALL
+    SELECT '_:b' || doc_id,
+           'http://example.org/prop/fromSource',
+           '"' || source || '"'
     FROM documents{w}
     UNION ALL
     SELECT 'http://example.org/doc/' || doc_id,
@@ -675,10 +733,10 @@ ORACLES = {
                   (CASE WHEN is_head = 1 OR lag_term IS NULL THEN 0 ELSE raw_lcp END) + 1,
                   length(term)) END AS suffix
     FROM lcps""",
-    "kg_pattern_scan_p": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE p = 3",
+    "kg_pattern_scan_p": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE p = 7",
     "kg_pattern_scan_o": _KG_PRELUDE + "SELECT s, p, o FROM enc WHERE o = 1",
     "kg_pattern_scan_sp": _KG_PRELUDE
-    + "SELECT s, p, o FROM enc WHERE s = 1 AND p = 1",
+    + "SELECT s, p, o FROM enc WHERE s = 1 AND p = 4",
     "kg_header": _KG_PRELUDE
     + """
     SELECT * FROM
@@ -748,16 +806,16 @@ ORACLES = {
     + "SELECT term, section, sec_rank, id FROM dict",
     "kg_pattern_scan_so": _KG_PRELUDE
     + """
-    , sel AS (SELECT min(s) AS ss FROM enc WHERE p = 3),
+    , sel AS (SELECT min(s) AS ss FROM enc WHERE p = 7),
     sel2 AS (SELECT min(o) AS oo FROM enc
-             WHERE p = 3 AND s = (SELECT ss FROM sel))
+             WHERE p = 7 AND s = (SELECT ss FROM sel))
     SELECT s, p, o FROM enc
     WHERE s = (SELECT ss FROM sel) AND o = (SELECT oo FROM sel2)""",
     "kg_pattern_scan_po": _KG_PRELUDE
     + """
-    , sel AS (SELECT o AS oo FROM enc WHERE p = 3
+    , sel AS (SELECT o AS oo FROM enc WHERE p = 7
               GROUP BY o ORDER BY count(*) DESC, o ASC LIMIT 1)
-    SELECT s, p, o FROM enc WHERE p = 3 AND o = (SELECT oo FROM sel)""",
+    SELECT s, p, o FROM enc WHERE p = 7 AND o = (SELECT oo FROM sel)""",
     "kg_sorted_orders": _KG_PRELUDE
     + """
     SELECT ord, n_triples, sum_s, sum_p, sum_o
@@ -770,6 +828,13 @@ ORACLES = {
     + """
     SELECT e1.s AS doc, e1.o AS ent, e2.o AS label
     FROM enc e1 JOIN enc e2 ON e1.o = e2.s
-    WHERE e1.p = 3 AND e2.p = 1""",
+    WHERE e1.p = 7 AND e2.p = 5""",
+    "kg_bgp_star": _KG_PRELUDE
+    + """
+    SELECT e1.s AS doc, e1.o AS ent, e2.o AS lang, e3.o AS nc
+    FROM enc e1
+    JOIN enc e2 ON e1.s = e2.s
+    JOIN enc e3 ON e1.s = e3.s
+    WHERE e1.p = 7 AND e2.p = 6 AND e3.p = 8""",
     "kg_ntriples_ingest": _KG_PRELUDE + "SELECT s, p, o FROM triples",
 }

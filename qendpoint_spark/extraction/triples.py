@@ -9,16 +9,29 @@ ANSI SQL, which is what the DuckDB oracle in __spark_entry__.py runs.
 Rules (BASE = http://example.org/), given a document/page with a stable
 key `doc` and columns text/lang/source/n_chars:
 
-  <BASE/doc/{key}>  <BASE/prop/lang>     "{lang}"@{lang}
-  <BASE/doc/{key}>  <BASE/prop/source>   "{source}"          (documents only)
-  <BASE/doc/{key}>  <BASE/prop/nchars>   "{n}"^^xsd:integer  (documents only)
-  <BASE/doc/{key}>  <BASE/prop/mentions> <BASE/ent/{tok}>    per distinct tok
-  <BASE/ent/{tok}>  <BASE/prop/label>    "{tok}"             per distinct tok
+  <BASE/doc/{key}>  <BASE/prop/lang>      "{lang}"@{lang}
+  <BASE/doc/{key}>  <BASE/prop/source>    "{source}"          (documents only)
+  <BASE/doc/{key}>  <BASE/prop/nchars>    "{n}"^^xsd:integer  (documents only)
+  <BASE/doc/{key}>  <BASE/prop/crawldate> "2024-MM-DD"^^xsd:date
+                      MM = 1+doc_id%12, DD = 1+doc_id%28       (documents only)
+  <BASE/doc/{key}>  <BASE/prop/density>   "{n//100}.{n%100:02}"^^xsd:decimal
+                                                               (documents only)
+  <BASE/doc/{key}>  <BASE/prop/flag>      "true|false"^^xsd:boolean
+                      true iff n_chars even                     (documents only)
+  <BASE/doc/{key}>  <BASE/prop/provenance> _:b{doc_id}          (documents only)
+  _:b{doc_id}       <BASE/prop/fromSource> "{source}"           (documents only)
+  <BASE/doc/{key}>  <BASE/prop/mentions>  <BASE/ent/{tok}>    per distinct tok
+  <BASE/ent/{tok}>  <BASE/prop/label>     "{tok}"             per distinct tok
 
 where tok ranges over distinct whitespace tokens of `text` with
 len(tok) >= MIN_MENTION_LEN. Entity IRIs appear as both subject (label
 rule) and object (mentions rule) — this deliberately populates the
-HDT shared (SH) dictionary section.
+HDT shared (SH) dictionary section; the provenance bnodes do the same
+for bnode terms (subject via fromSource, object via provenance —
+reference fixture territory: importer/bnode_x.nt), and the typed
+literals exercise four MSD datatype subsections (integer, date,
+decimal, boolean) plus lang and plain strings
+(MultipleSectionDictionary.java:51-60).
 
 Terms use the HDT dictionary lexical form: IRIs without angle
 brackets, literals quoted with optional @lang / ^^<datatype> suffix
@@ -42,7 +55,15 @@ P_SOURCE = BASE + "prop/source"
 P_NCHARS = BASE + "prop/nchars"
 P_MENTIONS = BASE + "prop/mentions"
 P_LABEL = BASE + "prop/label"
+P_CRAWLDATE = BASE + "prop/crawldate"
+P_DENSITY = BASE + "prop/density"
+P_FLAG = BASE + "prop/flag"
+P_PROVENANCE = BASE + "prop/provenance"
+P_FROMSOURCE = BASE + "prop/fromSource"
 XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
 MIN_MENTION_LEN = 4
 
 
@@ -151,38 +172,73 @@ def extract_triples_from_documents(documents: DataFrame) -> DataFrame:
         F.concat(F.lit(BASE + "doc/"), F.col("doc_id").cast("string")).alias(
             "doc_iri"
         ),
+        "doc_id",
         "text",
         "lang",
         "source",
         "n_chars",
     )
-    # all three per-document metadata triples in ONE scan: explode an
-    # inline (p, o) array instead of three unioned re-scans
+    # typed-literal lexical forms assembled by pure string arithmetic
+    # (no float formatting, so the DuckDB oracle reproduces them
+    # byte-exactly): date from doc_id residues, decimal from integer
+    # div/mod, boolean from parity
+    crawldate = F.concat(
+        F.lit('"2024-'),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit('"^^<' + XSD_DATE + ">"),
+    )
+    density = F.concat(
+        F.lit('"'),
+        F.expr("n_chars div 100").cast("string"),
+        F.lit("."),
+        F.lpad((F.col("n_chars") % 100).cast("string"), 2, "0"),
+        F.lit('"^^<' + XSD_DECIMAL + ">"),
+    )
+    flag = F.concat(
+        F.lit('"'),
+        F.when(F.col("n_chars") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit('"^^<' + XSD_BOOLEAN + ">"),
+    )
+    bnode = F.concat(F.lit("_:b"), F.col("doc_id").cast("string"))
+    # all per-document metadata triples in ONE scan: explode an inline
+    # (s, p, o) array instead of unioned re-scans; the fromSource rule
+    # rides along with the provenance BNODE as its subject
     meta = keyed.select(
-        F.col("doc_iri").alias("s"),
         F.explode(
             F.array(
+                *[
+                    F.struct(
+                        F.col("doc_iri").alias("s"),
+                        F.lit(p).alias("p"),
+                        o.alias("o"),
+                    )
+                    for p, o in (
+                        (P_LANG, F.concat(F.lit('"'), F.col("lang"),
+                                          F.lit('"@'), F.col("lang"))),
+                        (P_SOURCE, F.concat(F.lit('"'), F.col("source"),
+                                            F.lit('"'))),
+                        (P_NCHARS, F.concat(F.lit('"'),
+                                            F.col("n_chars").cast("string"),
+                                            F.lit('"^^<' + XSD_INTEGER + ">"))),
+                        (P_CRAWLDATE, crawldate),
+                        (P_DENSITY, density),
+                        (P_FLAG, flag),
+                        (P_PROVENANCE, bnode),
+                    )
+                ],
                 F.struct(
-                    F.lit(P_LANG).alias("p"),
-                    F.concat(
-                        F.lit('"'), F.col("lang"), F.lit('"@'), F.col("lang")
-                    ).alias("o"),
-                ),
-                F.struct(
-                    F.lit(P_SOURCE).alias("p"),
+                    bnode.alias("s"),
+                    F.lit(P_FROMSOURCE).alias("p"),
                     F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("o"),
                 ),
-                F.struct(
-                    F.lit(P_NCHARS).alias("p"),
-                    F.concat(
-                        F.lit('"'),
-                        F.col("n_chars").cast("string"),
-                        F.lit('"^^<' + XSD_INTEGER + ">"),
-                    ).alias("o"),
-                ),
             )
-        ).alias("po"),
-    ).select("s", F.col("po.p").alias("p"), F.col("po.o").alias("o"))
+        ).alias("spo"),
+    ).select(
+        F.col("spo.s").alias("s"), F.col("spo.p").alias("p"),
+        F.col("spo.o").alias("o"),
+    )
     # documents have an integer key: dedup mentions on (doc_id, tok)
     # and assemble the subject IRI post-shuffle (-18% shuffled bytes)
     return meta.unionByName(

@@ -217,16 +217,33 @@ def embedding_dup_pairs_lsh(
     construction). Candidates = pairs sharing any of the `tables`
     signature buckets (defaults: similarity.HYPERPLANES, shared
     literals with the SQL oracle), then exact quantized cosine >=
-    min_cos. Size bits ~ log2(n_vectors) - 8 to keep bucket cliques
-    bounded (similarity.make_hyperplanes generates larger plane sets)."""
+    min_cos. bits=None (the default) SIZES ITSELF to the corpus:
+    bits = max(3, log2(n) - 8), keeping the expected bucket clique
+    (n / 2^bits)^2 / 2 per table bounded at ~2^16 comparisons
+    regardless of corpus size — the scale dial applied, not just
+    documented. Pass explicit bits/tables/planes to pin a fixed
+    signature (the oracle-checked gate row does, so its DuckDB twin
+    shares the literal planes)."""
+    import math
+
     from qendpoint_spark.ops.similarity import (
         LSH_BITS,
         LSH_TABLES,
         lsh_signature,
+        make_hyperplanes,
     )
 
-    bits = LSH_BITS if bits is None else bits
     tables = LSH_TABLES if tables is None else tables
+    if bits is None:
+        if planes is not None:
+            bits = LSH_BITS
+        else:
+            n = embeddings.count()
+            bits = max(LSH_BITS, int(math.log2(max(n, 2))) - 8)
+    if planes is None and (bits != LSH_BITS or tables != LSH_TABLES):
+        first = embeddings.select("embedding").head()
+        dim = len(first[0]) if first else 64
+        planes = make_hyperplanes(tables * bits, dim=dim)
     q = embeddings.select(
         "vec_id",
         F.transform(

@@ -114,7 +114,8 @@ def q_multimodal_frames(spark, sf_dir):
 def q_embed_dup_lsh(spark, sf_dir):
     from qendpoint_spark.ops.dedup import embedding_dup_pairs_lsh
 
-    return embedding_dup_pairs_lsh(_emb(spark, sf_dir), min_cos=0.3)
+    # pinned signature (bits=3, 4 tables): the oracle's literal planes
+    return embedding_dup_pairs_lsh(_emb(spark, sf_dir), min_cos=0.3, bits=3, tables=4)
 
 
 def q_sim_topk_ivf(spark, sf_dir):

@@ -19,11 +19,19 @@ from __future__ import annotations
 from qendpoint_spark.extraction.triples import (
     BASE,
     MIN_MENTION_LEN,
+    P_CRAWLDATE,
+    P_DENSITY,
+    P_FLAG,
+    P_FROMSOURCE,
     P_LANG,
     P_LABEL,
     P_MENTIONS,
     P_NCHARS,
+    P_PROVENANCE,
     P_SOURCE,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DECIMAL,
     XSD_INTEGER,
 )
 
@@ -39,9 +47,22 @@ def oracle_extract_documents(rows: list[dict]) -> set[tuple[str, str, str]]:
     all_toks: set[str] = set()
     for r in rows:
         doc = f"{BASE}doc/{r['doc_id']}"
+        did, n = r["doc_id"], r["n_chars"]
+        bnode = f"_:b{did}"
         triples.add((doc, P_LANG, f'"{r["lang"]}"@{r["lang"]}'))
         triples.add((doc, P_SOURCE, f'"{r["source"]}"'))
-        triples.add((doc, P_NCHARS, f'"{r["n_chars"]}"^^<{XSD_INTEGER}>'))
+        triples.add((doc, P_NCHARS, f'"{n}"^^<{XSD_INTEGER}>'))
+        triples.add((
+            doc, P_CRAWLDATE,
+            f'"2024-{did % 12 + 1:02d}-{did % 28 + 1:02d}"^^<{XSD_DATE}>',
+        ))
+        triples.add((doc, P_DENSITY, f'"{n // 100}.{n % 100:02d}"^^<{XSD_DECIMAL}>'))
+        triples.add((
+            doc, P_FLAG,
+            f'"{"true" if n % 2 == 0 else "false"}"^^<{XSD_BOOLEAN}>',
+        ))
+        triples.add((doc, P_PROVENANCE, bnode))
+        triples.add((bnode, P_FROMSOURCE, f'"{r["source"]}"'))
         text = r.get("text") or ""
         toks = {t for t in text.split(" ") if len(t) >= MIN_MENTION_LEN}
         all_toks |= toks

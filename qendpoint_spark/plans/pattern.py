@@ -112,20 +112,33 @@ class PatternStats:
         return max(card, 1e-9)
 
 
+#: rows under which a BGP join side is explicitly broadcast — ~100k
+#: 8-byte-ish rows is well inside any executor's memory and saves the
+#: exchange on the big probe side
+BGP_BROADCAST_ROWS = 100_000
+
+
 def scan_bgp(
     spo,
     ops,
     patterns: list[tuple],
     stats: PatternStats | None = None,
     pso=None,
+    broadcast_rows: int = BGP_BROADCAST_ROWS,
 ) -> DataFrame:
     """Execute a basic graph pattern: each pattern is an (s, p, o)
     tuple whose elements are ints (bound) or strings (variable names).
 
     Join order: greedy smallest-estimated-cardinality first, never
     introducing a cartesian product while a connected pattern exists —
-    the textbook selectivity-driven BGP ordering, with Catalyst free to
-    pick broadcast/SMJ per join. Returns one column per variable.
+    the textbook selectivity-driven BGP ordering. BUILD/PROBE side:
+    when stats estimate one side under `broadcast_rows`, that side is
+    explicitly broadcast (the stats-driven analog of the reference
+    feeding PredicateIndex counts to its join optimizer,
+    EndpointStoreEvaluationStatisticsHDT.java:11-61); the accumulated
+    cardinality is propagated with the textbook |A||B|/max(V(A,y),
+    V(B,y)) estimate using the per-predicate distinct-subject/object
+    counts as V. Returns one column per variable.
     """
 
     def parts(pat):
@@ -154,6 +167,22 @@ def scan_bgp(
         cols = [F.col(k).alias(v) for v, k in var_pos.items()]
         return df.select(*cols)
 
+    def var_distincts(pat) -> dict[str, float]:
+        """V(var): distinct-value estimate per variable of one leaf,
+        from the predicate stats (n_subjects/n_objects)."""
+        if stats is None:
+            return {}
+        p = parts(pat)["p"]
+        st = stats.by_p.get(p) if not isinstance(p, str) else None
+        if st is None:
+            return {}
+        out = {}
+        if isinstance(parts(pat)["s"], str):
+            out[parts(pat)["s"]] = float(st["n_subjects"])
+        if isinstance(parts(pat)["o"], str):
+            out[parts(pat)["o"]] = float(st["n_objects"])
+        return out
+
     remaining = list(patterns)
     est = (
         (lambda pat: stats.estimate(**{
@@ -167,6 +196,8 @@ def scan_bgp(
     first = remaining.pop(0)
     out = leaf(first)
     seen_vars = variables(first)
+    acc_est = est(first)
+    acc_v = var_distincts(first)
     while remaining:
         connected = [i for i, pat in enumerate(remaining)
                      if variables(pat) & seen_vars]
@@ -174,6 +205,25 @@ def scan_bgp(
         pat = remaining.pop(idx)
         on = sorted(variables(pat) & seen_vars)
         right = leaf(pat)
-        out = out.join(right, on) if on else out.crossJoin(right)
+        r_est = est(pat)
+        r_v = var_distincts(pat)
+        if not on:
+            out = out.crossJoin(right)
+            acc_est = acc_est * r_est
+        else:
+            # explicit build side when stats say one side is small;
+            # otherwise leave the choice to Catalyst/AQE
+            if stats is not None and r_est <= broadcast_rows and r_est <= acc_est:
+                out = out.join(F.broadcast(right), on)
+            elif stats is not None and acc_est <= broadcast_rows:
+                out = right.join(F.broadcast(out), on)
+            else:
+                out = out.join(right, on)
+            denom = max(
+                [max(acc_v.get(v, 1.0), r_v.get(v, 1.0)) for v in on] or [1.0]
+            )
+            acc_est = acc_est * r_est / max(denom, 1.0)
+        for v, d in r_v.items():
+            acc_v[v] = min(acc_v.get(v, d), d)
         seen_vars |= variables(pat)
     return out

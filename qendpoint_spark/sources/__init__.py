@@ -1,6 +1,7 @@
 from qendpoint_spark.sources.ntriples import (
     guess_format,
     read_ntriples,
+    read_ntriples_archive,
     read_ntriples_dir,
     read_rdf_source,
 )
@@ -8,6 +9,7 @@ from qendpoint_spark.sources.ntriples import (
 __all__ = [
     "guess_format",
     "read_ntriples",
+    "read_ntriples_archive",
     "read_ntriples_dir",
     "read_rdf_source",
 ]

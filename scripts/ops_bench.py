@@ -83,19 +83,20 @@ def main() -> None:
         "dedup_exact": lambda: exact_dedup(docs),
         "dedup_minhash_lsh": lambda: minhash_lsh_pairs(docs, k=3),
         "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64),
-        "dedup_simhash": lambda: simhash_table(docs, bits=16),
+        "dedup_simhash": lambda: simhash_table(docs, bits=32),
         "text_stats": lambda: text_stats(docs),
         "sim_topk_bruteforce": lambda: brute_force_topk(emb, query_mod=997, k=5),
         "sim_topk_lsh": lambda: lsh_bucketed_topk(emb, query_mod=997, k=5),
         "sim_topk_ivf": lambda: ivf_topk_frozen(emb, query_mod=997, k=5, nprobe=2),
-        # pairwise near-dup runs on a 1/8 subsample: the shipped
-        # 12-hyperplane signature (3 bits/table) is sized for ~10^2-10^3
-        # vectors per bucket — at a larger corpus the bits/table
-        # parameter must grow with log2(n) (bucket size n/2^bits drives
-        # the candidate count quadratically). The subsample keeps the
-        # measurement in the operator's design envelope.
-        "dedup_embedding_lsh_sub8": lambda: embedding_dup_pairs_lsh(
-            emb.filter(F.col("vec_id") % 8 == 0), min_cos=0.5
+        # near-dup at FULL corpus with the self-sizing signature
+        # (bits = log2(n) - 8, applied by default) vs the old fixed
+        # 3-bit signature on a 1/8 subsample: the auto row is the
+        # measurement that the scale dial works at corpus size.
+        "dedup_embedding_lsh_auto": lambda: embedding_dup_pairs_lsh(
+            emb, min_cos=0.5
+        ),
+        "dedup_embedding_lsh_sub8_fixed3": lambda: embedding_dup_pairs_lsh(
+            emb.filter(F.col("vec_id") % 8 == 0), min_cos=0.5, bits=3, tables=4
         ),
     }
     timings: dict[str, float] = {}

@@ -173,3 +173,46 @@ def test_alternate_sort_orders(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_archive_container_sources(spark, tmp_path):
+    """Zip and tar containers (RDFParserZip/RDFParserTar analogs): all
+    .nt members — including member-compressed ones — parse identically
+    to a flat-directory load; non-NT members are ignored."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from qendpoint_spark.sources import read_ntriples_archive, read_rdf_source
+
+    lines = [
+        '<http://x/s1> <http://x/p> "one" .',
+        '<http://x/s2> <http://x/p> "two" .',
+        '<http://x/s3> <http://x/p> "three" .',
+        '<http://x/s4> <http://x/p> "four\\tescaped" .',
+    ]
+    adir = tmp_path / "archives"
+    adir.mkdir()
+    with zipfile.ZipFile(adir / "a.zip", "w") as zf:
+        zf.writestr("inner/one.nt", lines[0] + "\n")
+        zf.writestr("two.nt.gz", gzip.compress((lines[1] + "\n").encode()))
+        zf.writestr("ignore.txt", "not triples\n")
+    with tarfile.open(adir / "b.tar.gz", "w:gz") as tf:
+        for name, text in (("three.nt", lines[2]), ("four.nt", lines[3])):
+            data = (text + "\n").encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    got = read_ntriples_archive(spark, str(adir))
+    rows = {(r.s, r.o) for r in got.collect()}
+    assert rows == {
+        ("http://x/s1", '"one"'),
+        ("http://x/s2", '"two"'),
+        ("http://x/s3", '"three"'),
+        ("http://x/s4", '"four\tescaped"'),
+    }
+    # dispatcher routes single archives too
+    one = read_rdf_source(spark, str(adir / "a.zip"))
+    assert one.count() == 2

@@ -80,10 +80,41 @@ def test_msd_layout_prunes_files(spark, tmp_path):
     assert cat.read("triples_spo").count() > 0
 
 
+def test_msd_sections_cover_grammar_datatypes(spark, documents, tmp_path):
+    """The documents grammar emits FOUR typed-literal datatypes
+    (integer, date, decimal, boolean) plus lang-tagged and plain
+    strings and bnode refs — each must land in its own MSD partition
+    directory, and a date-scoped read must prune to that directory."""
+    from qendpoint_spark.encoding.header import with_datatype
+
+    tr = extract_triples_from_documents(documents).localCheckpoint(eager=True)
+    d = with_datatype(build_dictionary(tr, num_partitions=4))
+    path = str(tmp_path / "msd")
+    d.write.partitionBy("section", "datatype").parquet(path)
+    back = spark.read.parquet(path)
+    dts = {r.datatype for r in back.select("datatype").distinct().collect()}
+    for xsd in ("integer", "date", "decimal", "boolean"):
+        assert f"http://www.w3.org/2001/XMLSchema#{xsd}" in dts, dts
+    assert "@en" in dts or any(str(x).startswith("@") for x in dts)
+    assert "NO_DATATYPE" in dts
+    # bnode terms are refs (datatype NULL partition) and live in SH
+    bn = back.filter(F.col("term").startswith("_:"))
+    assert bn.count() > 0
+    assert {r.section for r in bn.select("section").distinct().collect()} == {"SH"}
+    q = back.filter(
+        F.col("datatype") == "http://www.w3.org/2001/XMLSchema#date"
+    )
+    pf = [ln for ln in _plan(q).splitlines() if "PartitionFilters" in ln]
+    assert pf and "datatype" in pf[0]
+    assert q.count() > 0
+
+
 def test_choose_order_routing():
     assert choose_order(1, None, None) == "spo"
+    assert choose_order(1, 2, None) == "spo"
     assert choose_order(1, 2, 3) == "spo"
-    assert choose_order(None, 2, 3) == "ops"
+    assert choose_order(1, None, 3) == "sop"  # both bound keys lead SOP
+    assert choose_order(None, 2, 3) == "pos"  # both bound keys lead POS
     assert choose_order(None, None, 3) == "ops"
     assert choose_order(None, 2, None) == "pso"
     assert choose_order(None, None, None) == "spo"
@@ -278,3 +309,26 @@ def test_bgp_repeated_variable_in_pattern(spark):
     got2 = scan_bgp(enc, enc, [("x", 1, "x"), ("x", 1, "y")])
     assert sorted(got2.columns) == ["x", "y"]
     assert {(r.x, r.y) for r in got2.collect()} == {(1, 1)}
+
+
+def test_bgp_build_side_broadcast(spark, tmp_path):
+    """Stats-driven build/probe selection: the smaller-estimated BGP
+    side is explicitly broadcast; the star result matches the
+    stats-free plan."""
+    from qendpoint_spark.encoding import predicate_index
+    from qendpoint_spark.plans import PatternStats, scan_bgp
+
+    pages = generate_pages(spark, 60, seed=21).cache()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, cat, source_df=pages, source_kind="pages",
+                 source_fingerprint="bgp2", num_partitions=4, with_pso=True)
+    spo = cat.read("triples_spo")
+    stats = PatternStats(predicate_index(spo))
+    patterns = [("doc", 3, "ent"), ("ent", 1, "label")]
+    got = scan_bgp(spo, cat.read("triples_ops"), patterns, stats=stats,
+                   pso=cat.read("triples_pso"))
+    assert "BroadcastHashJoin" in _plan(got)
+    ref = scan_bgp(spo, cat.read("triples_ops"), patterns, stats=None)
+    cols = sorted(got.columns)
+    g, r = got.select(*cols), ref.select(*cols)
+    assert g.exceptAll(r).count() == 0 and r.exceptAll(g).count() == 0
