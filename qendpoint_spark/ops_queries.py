@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qendpoint_spark.entry_queries import _triples_cte
 from qendpoint_spark.linking import connected_components, link_mentions
 from qendpoint_spark.ops.dedup import (
     embedding_dup_pairs,
@@ -818,39 +819,12 @@ SELECT e.doc_a, e.doc_b, e.jaccard,
 FROM exact e
 JOIN sig a ON a.doc_id = e.doc_a
 JOIN sig b ON b.doc_id = e.doc_b""",
-    "kg_canonical_triples": """
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
-    FROM documents
-  ) WHERE length(tok) >= 4
-),
-triples AS (
-  SELECT DISTINCT s, p, o FROM (
-    SELECT 'http://example.org/doc/' || doc_id AS s,
-           'http://example.org/prop/lang' AS p,
-           '"' || lang || '"@' || lang AS o
-    FROM documents
-    UNION ALL
-    SELECT 'http://example.org/doc/' || doc_id,
-           'http://example.org/prop/source', '"' || source || '"'
-    FROM documents
-    UNION ALL
-    SELECT 'http://example.org/doc/' || doc_id,
-           'http://example.org/prop/nchars',
-           '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
-    FROM documents
-    UNION ALL
-    SELECT 'http://example.org/doc/' || doc_id,
-           'http://example.org/prop/mentions',
-           'http://example.org/ent/' || tok
-    FROM toks
-    UNION ALL
-    SELECT DISTINCT 'http://example.org/ent/' || tok,
-           'http://example.org/prop/label', '"' || tok || '"'
-    FROM toks
-  )
-)
+    # the triples CTE is SHARED with the kg prelude (entry_queries.
+    # _triples_cte) so the extraction grammar can never diverge between
+    # the pipeline oracles and this canonicalization oracle
+    "kg_canonical_triples": "WITH "
+    + _triples_cte("triples")
+    + """
 SELECT DISTINCT
   CASE WHEN s LIKE 'http://example.org/doc/%'
        THEN 'http://example.org/doc/' ||
