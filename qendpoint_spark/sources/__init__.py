@@ -1,3 +1,9 @@
+from qendpoint_spark.sources.deltafile import (
+    delta_file_entries,
+    parse_delta_file,
+    read_delta_file,
+    write_delta_file,
+)
 from qendpoint_spark.sources.ntriples import (
     guess_format,
     read_ntriples,
@@ -7,6 +13,10 @@ from qendpoint_spark.sources.ntriples import (
 )
 
 __all__ = [
+    "delta_file_entries",
+    "parse_delta_file",
+    "read_delta_file",
+    "write_delta_file",
     "guess_format",
     "read_ntriples",
     "read_ntriples_archive",

@@ -149,8 +149,18 @@ def guess_format(path: str) -> str:
         return "archive"
     if p.endswith(".parquet"):
         return "parquet"
+    if p.endswith(".df"):
+        return "deltafile"
     if p.endswith(".list"):
         return "list"
+    if p.endswith(".rar"):
+        # the reference reads rar via the junrar library
+        # (RDFParserRAR.java); no rar codec ships in this sandbox and
+        # pip installs are prohibited — explicit, loud exclusion
+        raise NotImplementedError(
+            "rar containers need an unrar codec unavailable here; "
+            "repack as zip/tar (read_ntriples_archive)"
+        )
     return "dir"
 
 
@@ -163,6 +173,10 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
         return read_ntriples(spark, path)
     if kind == "archive":
         return read_ntriples_archive(spark, path)
+    if kind == "deltafile":
+        from qendpoint_spark.sources.deltafile import read_delta_file
+
+        return read_delta_file(spark, path)
     if kind == "parquet":
         return spark.read.parquet(path).select("s", "p", "o")
     if kind == "list":

@@ -216,3 +216,45 @@ def test_archive_container_sources(spark, tmp_path):
     # dispatcher routes single archives too
     one = read_rdf_source(spark, str(adir / "a.zip"))
     assert one.count() == 2
+
+
+def test_delta_file_roundtrip(spark, tmp_path):
+    """Delta-file container (RDFDeltaFileParser format): cookie +
+    little-endian header + VByte-sized gzip members; added members
+    parse, deletion markers are skipped but inventoried."""
+    from qendpoint_spark.sources import (
+        delta_file_entries,
+        guess_format,
+        read_delta_file,
+        read_rdf_source,
+        write_delta_file,
+    )
+
+    blob = write_delta_file([
+        ("add1.nt", b'<http://x/s1> <http://x/p> "one" .\n'),
+        ("gone.nt", b""),  # deletion marker
+        ("add2.nt", b'<http://x/s2> <http://x/p> "two" .\n'
+                    b'<http://x/s3> <http://x/p> "three" .\n'),
+        ("skip.ttl", b"@prefix x: <http://x/> ."),  # non-NT member
+    ])
+    path = tmp_path / "changes.df"
+    path.write_bytes(blob)
+
+    assert guess_format(str(path)) == "deltafile"
+    got = read_delta_file(spark, str(tmp_path))
+    assert {(r.s, r.o) for r in got.collect()} == {
+        ("http://x/s1", '"one"'),
+        ("http://x/s2", '"two"'),
+        ("http://x/s3", '"three"'),
+    }
+    inv = {(r.member, r.deleted) for r in delta_file_entries(spark, str(tmp_path)).collect()}
+    assert ("gone.nt", True) in inv and ("add1.nt", False) in inv
+    # dispatcher route
+    assert read_rdf_source(spark, str(path)).count() == 3
+    # bad cookie raises like the reference
+    from qendpoint_spark.sources import parse_delta_file
+    try:
+        parse_delta_file(b"NOTACOOKIE" + blob)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
