@@ -261,7 +261,7 @@ def incremental_update(
     pipeline(A) + incremental_update(B) == pipeline(A ∪ B).
     """
     from qendpoint_spark.encoding import build_header
-    from qendpoint_spark.merge import merge_datasets
+    from qendpoint_spark.merge import merge_datasets, merge_incremental
 
     t_start = time.time()
     report = PipelineReport()
@@ -273,16 +273,26 @@ def incremental_update(
     new_tri = extractor(new_docs)
     new_dict = build_dictionary(new_tri, num_partitions=num_partitions)
     new_enc = encode_triples(new_tri, new_dict, assume_distinct=True)
-    merged_dict, merged_triples, _ = merge_datasets(
-        [(catalog.read("triples_spo"), catalog.read("dict_terms")),
-         (new_enc, new_dict)],
-        num_partitions=num_partitions,
-    )
-    # The merged-triples plan lazily reads the CURRENT published
-    # tables, which the republish below overwrites — materialize first.
-    # (A versioned table format — Iceberg snapshots — would let the new
+    base = (catalog.read("triples_spo"), catalog.read("dict_terms"))
+    # strategy: a SMALL batch (the CatTree compaction norm) goes through
+    # the delta-proportional breakpoint merge — shuffle ∝ |batch|; a
+    # large batch falls back to the general k-way int-remap merge
+    # (outputs are identical; property-tested in test_incremental_cat)
+    n_delta_terms = new_dict.count()
+    if n_delta_terms <= 2_000_000:
+        merged_dict, merged_triples = merge_incremental(
+            base, (new_enc, new_dict), max_delta_terms=2_000_000
+        )
+    else:
+        merged_dict, merged_triples, _ = merge_datasets(
+            [base, (new_enc, new_dict)], num_partitions=num_partitions
+        )
+    # The merged plans lazily read the CURRENT published tables, which
+    # the republish below overwrites — materialize both first. (A
+    # versioned table format — Iceberg snapshots — would let the new
     # version be written while readers pin the old one; the os.rename
     # Catalog has no snapshots, so the cut is explicit here.)
+    merged_dict = merged_dict.localCheckpoint(eager=True)
     merged_triples = merged_triples.localCheckpoint(eager=True)
     fp = _fingerprint("incremental", source_kind, batch_fingerprint)
     report.stages.append(

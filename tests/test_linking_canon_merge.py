@@ -196,17 +196,27 @@ def test_incremental_update_equals_full_rebuild(spark, documents, tmp_path):
 
     cat_inc = Catalog(spark, str(tmp_path / "inc"))
     run_pipeline(spark, cat_inc, source_df=docs_a, source_kind="documents",
-                 source_fingerprint="half-a", num_partitions=4)
+                 source_fingerprint="half-a", num_partitions=4, with_pso=True)
     incremental_update(spark, cat_inc, docs_b, batch_fingerprint="half-b",
                        num_partitions=4)
 
     cat_full = Catalog(spark, str(tmp_path / "full"))
     run_pipeline(spark, cat_full, source_df=documents, source_kind="documents",
-                 source_fingerprint="full", num_partitions=4)
+                 source_fingerprint="full", num_partitions=4, with_pso=True)
 
+    # EVERY published table must describe the merged dataset — the
+    # derived tables (pso/stats/header) went stale after a merge once
     for name, cols in [("dict_terms", ["term", "section", "sec_rank", "id"]),
                        ("triples_spo", ["s", "p", "o"]),
-                       ("triples_ops", ["o", "p", "s"])]:
-        a = cat_inc.read(name).select(*cols)
-        b = cat_full.read(name).select(*cols)
+                       ("triples_ops", ["o", "p", "s"]),
+                       ("triples_pso", ["p", "s", "o"]),
+                       ("predicate_index", None),
+                       ("object_index", None),
+                       ("header", None)]:
+        a = cat_inc.read(name)
+        b = cat_full.read(name)
+        if cols is not None:
+            a, b = a.select(*cols), b.select(*cols)
+        else:
+            a, b = a.select(*sorted(a.columns)), b.select(*sorted(b.columns))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
