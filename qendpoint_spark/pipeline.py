@@ -260,17 +260,40 @@ def incremental_update(
     subsequent ?P? scan. Identity proven in tests:
     pipeline(A) + incremental_update(B) == pipeline(A ∪ B).
     """
-    from qendpoint_spark.encoding import build_header
-    from qendpoint_spark.merge import merge_datasets, merge_incremental
-
-    t_start = time.time()
-    report = PipelineReport()
     extractor = (
         extract_triples_from_documents
         if source_kind == "documents"
         else extract_triples_from_pages
     )
-    new_tri = extractor(new_docs)
+    return incremental_update_triples(
+        spark,
+        catalog,
+        extractor(new_docs),
+        batch_fingerprint=_fingerprint(
+            "incremental", source_kind, batch_fingerprint
+        ),
+        num_partitions=num_partitions,
+    )
+
+
+def incremental_update_triples(
+    spark: SparkSession,
+    catalog: Catalog,
+    new_tri: DataFrame,
+    batch_fingerprint: str = "",
+    num_partitions: int | None = None,
+) -> PipelineReport:
+    """incremental_update for a PRE-EXTRACTED string-triple batch —
+    the entry point the streaming ingest-compact path uses (staging
+    generations are already triples; CatTreeImpl merges chunk HDTs the
+    same way without re-parsing the source). new_tri must be distinct
+    on (s,p,o) — streaming.compact_staging guarantees it; overlap with
+    the PUBLISHED data is fine (the merge is a set union)."""
+    from qendpoint_spark.encoding import build_header
+    from qendpoint_spark.merge import merge_datasets, merge_incremental
+
+    t_start = time.time()
+    report = PipelineReport()
     new_dict = build_dictionary(new_tri, num_partitions=num_partitions)
     new_enc = encode_triples(new_tri, new_dict, assume_distinct=True)
     base = (catalog.read("triples_spo"), catalog.read("dict_terms"))
@@ -294,7 +317,7 @@ def incremental_update(
     # Catalog has no snapshots, so the cut is explicit here.)
     merged_dict = merged_dict.localCheckpoint(eager=True)
     merged_triples = merged_triples.localCheckpoint(eager=True)
-    fp = _fingerprint("incremental", source_kind, batch_fingerprint)
+    fp = batch_fingerprint or _fingerprint("incremental", "triples")
     report.stages.append(
         catalog.write_stage(
             "dict_terms",
