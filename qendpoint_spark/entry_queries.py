@@ -381,6 +381,76 @@ def q_kg_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc", "ent", "lang", "nc")
 
 
+def q_kg_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path `mentions/label` over the ENCODED tables:
+    two routed path steps (PSO leading-key pruning on the bound
+    predicate) joined on the middle entity node — RDF4J's sequence-path
+    join done set-at-a-time (plans/paths.py). IDs stay longs end to
+    end; shared-section ids make the object→subject middle join exact."""
+    from qendpoint_spark.encoding import ops_table, pso_table, spo_table
+    from qendpoint_spark.plans import path_seq, path_step
+
+    enc = _enc(spark, sf_dir)
+    spo, ops, pso = spo_table(enc), ops_table(enc), pso_table(enc)
+    mentions = path_step(spo, ops, p=7, pso=pso)  # prop/mentions
+    label = path_step(spo, ops, p=5, pso=pso)  # prop/label
+    return path_seq(mentions, label)
+
+
+def q_kg_path_inv_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path `(^mentions)|label`: inverse step (column swap, no
+    shuffle) unioned with a forward step — RDF4J's alternative-path
+    union + inverse-path swap as DataFrame algebra."""
+    from qendpoint_spark.encoding import ops_table, pso_table, spo_table
+    from qendpoint_spark.plans import path_alt, path_inverse, path_step
+
+    enc = _enc(spark, sf_dir)
+    spo, ops, pso = spo_table(enc), ops_table(enc), pso_table(enc)
+    inv_mentions = path_inverse(path_step(spo, ops, p=7, pso=pso))
+    label = path_step(spo, ops, p=5, pso=pso)
+    return path_alt(inv_mentions, label)
+
+
+def _succession_edges(
+    docs: DataFrame, segment: int | None = None
+) -> DataFrame:
+    """doc_id -> doc_id+1 successor edges (a deterministic chain over
+    the corpus, the graph shape property-path closures are hardest on);
+    segment=k breaks the chain every k docs so the full `p+` closure
+    stays linear in the corpus (reachability on an unbroken n-chain is
+    inherently O(n^2) pairs — that variant is exercised with a hop
+    bound instead)."""
+    a = docs.select(F.col("doc_id").alias("src"))
+    b = docs.select(F.col("doc_id").alias("dst"))
+    edges = a.join(b, a["src"] + 1 == b["dst"])
+    if segment is not None:
+        edges = edges.filter(F.col("src") % segment != segment - 1)
+    return edges.select("src", "dst")
+
+
+def q_kg_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded `p+` transitive closure (semi-naive frontier loop,
+    plans/paths.py) over segmented successor chains — diameter 7, so
+    the loop genuinely iterates; every round shuffles only the newly
+    discovered 8-byte pairs. Oracle: DuckDB recursive CTE."""
+    from qendpoint_spark.plans import transitive_closure
+
+    return transitive_closure(
+        _succession_edges(_docs(spark, sf_dir), segment=8)
+    )
+
+
+def q_kg_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded `p{1,4}` closure over the UNBROKEN successor chain — the
+    form a 100-TB pipeline prefers on long-diameter graphs (output
+    bounded by k·|V| instead of the O(n²) full reachability set)."""
+    from qendpoint_spark.plans import transitive_closure
+
+    return transitive_closure(
+        _succession_edges(_docs(spark, sf_dir)), max_hops=4
+    )
+
+
 def q_kg_ntriples_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink/source round-trip through TEXT: export the extracted
     triples as N-Triples lines, re-parse them with read_ntriples
@@ -469,6 +539,10 @@ QUERIES = {
     "kg_diff": q_kg_diff,
     "kg_bgp_join": q_kg_bgp_join,
     "kg_bgp_star": q_kg_bgp_star,
+    "kg_path_seq": q_kg_path_seq,
+    "kg_path_inv_alt": q_kg_path_inv_alt,
+    "kg_path_closure": q_kg_path_closure,
+    "kg_path_bounded": q_kg_path_bounded,
     "kg_ntriples_ingest": q_kg_ntriples_ingest,
 }
 
@@ -837,4 +911,38 @@ ORACLES = {
     JOIN enc e3 ON e1.s = e3.s
     WHERE e1.p = 7 AND e2.p = 6 AND e3.p = 8""",
     "kg_ntriples_ingest": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_path_seq": _KG_PRELUDE
+    + """
+    SELECT DISTINCT e1.s AS src, e2.o AS dst
+    FROM enc e1 JOIN enc e2 ON e1.o = e2.s
+    WHERE e1.p = 7 AND e2.p = 5""",
+    "kg_path_inv_alt": _KG_PRELUDE
+    + """
+    SELECT o AS src, s AS dst FROM enc WHERE p = 7
+    UNION
+    SELECT s, o FROM enc WHERE p = 5""",
+    "kg_path_closure": """
+WITH RECURSIVE e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 8 <> 7
+),
+walk(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN e ON e.src = w.dst
+)
+SELECT src, dst FROM walk""",
+    "kg_path_bounded": """
+WITH RECURSIVE e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+walk(src, dst, d) AS (
+  SELECT src, dst, 1 AS d FROM e
+  UNION
+  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.d < 4
+)
+SELECT DISTINCT src, dst FROM walk""",
 }

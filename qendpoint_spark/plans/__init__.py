@@ -4,5 +4,24 @@ from qendpoint_spark.plans.pattern import (
     scan_bgp,
     scan_pattern,
 )
+from qendpoint_spark.plans.paths import (
+    path_alt,
+    path_inverse,
+    path_seq,
+    path_step,
+    path_zero_or_more,
+    transitive_closure,
+)
 
-__all__ = ["PatternStats", "choose_order", "scan_bgp", "scan_pattern"]
+__all__ = [
+    "PatternStats",
+    "choose_order",
+    "scan_bgp",
+    "scan_pattern",
+    "path_alt",
+    "path_inverse",
+    "path_seq",
+    "path_step",
+    "path_zero_or_more",
+    "transitive_closure",
+]
