@@ -381,6 +381,50 @@ def q_kg_bgp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc", "ent", "lang", "nc")
 
 
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL: (?doc lang ?lang) OPTIONAL (?doc mentions ?ent)
+    — a left outer extension on the shared ?doc variable; docs whose
+    text yields no qualifying mention keep a NULL ?ent binding."""
+    from qendpoint_spark.encoding import ops_table, pso_table, spo_table
+    from qendpoint_spark.plans import scan_bgp_optional
+
+    enc = _enc(spark, sf_dir)
+    return scan_bgp_optional(
+        spo_table(enc),
+        ops_table(enc),
+        required=[("doc", 6, "lang")],
+        optional=[("doc", 7, "ent")],
+        pso=pso_table(enc),
+    )
+
+
+def q_kg_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS: (?doc crawldate ?d) MINUS (?doc flag "true") —
+    anti-join on ?doc; the bound-object id for the boolean literal is
+    resolved through the dictionary exactly as a SPARQL engine resolves
+    a constant term (1-row bounded lookup, like PatternStats)."""
+    from qendpoint_spark.dictionary.builder import object_map
+    from qendpoint_spark.encoding import ops_table, pso_table, spo_table
+    from qendpoint_spark.extraction.triples import XSD_BOOLEAN
+    from qendpoint_spark.plans import scan_bgp_minus
+
+    enc = _enc(spark, sf_dir)
+    true_term = '"true"^^<' + XSD_BOOLEAN + ">"
+    oid = (
+        object_map(_dict(spark, sf_dir))
+        .filter(F.col("term") == true_term)
+        .collect()
+    )
+    true_oid = oid[0]["oid"] if oid else -1
+    return scan_bgp_minus(
+        spo_table(enc),
+        ops_table(enc),
+        required=[("doc", 1, "d")],
+        minus=[("doc", 3, int(true_oid))],
+        pso=pso_table(enc),
+    )
+
+
 def q_kg_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property path `mentions/label` over the ENCODED tables:
     two routed path steps (PSO leading-key pruning on the bound
@@ -539,6 +583,8 @@ QUERIES = {
     "kg_diff": q_kg_diff,
     "kg_bgp_join": q_kg_bgp_join,
     "kg_bgp_star": q_kg_bgp_star,
+    "kg_bgp_optional": q_kg_bgp_optional,
+    "kg_bgp_minus": q_kg_bgp_minus,
     "kg_path_seq": q_kg_path_seq,
     "kg_path_inv_alt": q_kg_path_inv_alt,
     "kg_path_closure": q_kg_path_closure,
@@ -911,6 +957,22 @@ ORACLES = {
     JOIN enc e3 ON e1.s = e3.s
     WHERE e1.p = 7 AND e2.p = 6 AND e3.p = 8""",
     "kg_ntriples_ingest": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_bgp_optional": _KG_PRELUDE
+    + """
+    SELECT r.s AS doc, r.o AS lang, m.o AS ent
+    FROM enc r LEFT JOIN (SELECT s, o FROM enc WHERE p = 7) m
+      ON r.s = m.s
+    WHERE r.p = 6""",
+    "kg_bgp_minus": _KG_PRELUDE
+    + """
+    SELECT r.s AS doc, r.o AS d
+    FROM enc r
+    WHERE r.p = 1 AND NOT EXISTS (
+      SELECT 1 FROM enc m
+      WHERE m.p = 3 AND m.s = r.s
+        AND m.o = (SELECT oid FROM omap
+                   WHERE term = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>')
+    )""",
     "kg_path_seq": _KG_PRELUDE
     + """
     SELECT DISTINCT e1.s AS src, e2.o AS dst

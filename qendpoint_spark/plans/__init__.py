@@ -2,6 +2,8 @@ from qendpoint_spark.plans.pattern import (
     PatternStats,
     choose_order,
     scan_bgp,
+    scan_bgp_minus,
+    scan_bgp_optional,
     scan_pattern,
 )
 from qendpoint_spark.plans.paths import (
@@ -17,6 +19,8 @@ __all__ = [
     "PatternStats",
     "choose_order",
     "scan_bgp",
+    "scan_bgp_minus",
+    "scan_bgp_optional",
     "scan_pattern",
     "path_alt",
     "path_inverse",

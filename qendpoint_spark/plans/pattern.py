@@ -227,3 +227,42 @@ def scan_bgp(
             acc_v[v] = min(acc_v.get(v, d), d)
         seen_vars |= variables(pat)
     return out
+
+
+def scan_bgp_optional(
+    spo,
+    ops,
+    required: list[tuple],
+    optional: list[tuple],
+    stats: PatternStats | None = None,
+    pso=None,
+) -> DataFrame:
+    """SPARQL OPTIONAL: solutions of `required` left-extended by the
+    `optional` group on their shared variables (unmatched rows keep
+    NULL bindings — RDF4J's LeftJoin node, supplied by the RDF4J
+    algebra in the reference; here it is literally Catalyst's left
+    outer join, so AQE still picks broadcast/SMJ per side)."""
+    req = scan_bgp(spo, ops, required, stats=stats, pso=pso)
+    opt = scan_bgp(spo, ops, optional, stats=stats, pso=pso)
+    on = sorted(set(req.columns) & set(opt.columns))
+    return req.join(opt, on, "left")
+
+
+def scan_bgp_minus(
+    spo,
+    ops,
+    required: list[tuple],
+    minus: list[tuple],
+    stats: PatternStats | None = None,
+    pso=None,
+) -> DataFrame:
+    """SPARQL MINUS: drop solutions that share bindings with a match of
+    the `minus` group — an anti-join on the shared variables. With no
+    shared variable the groups are never compatible, so (per SPARQL
+    semantics) nothing is removed."""
+    req = scan_bgp(spo, ops, required, stats=stats, pso=pso)
+    m = scan_bgp(spo, ops, minus, stats=stats, pso=pso)
+    on = sorted(set(req.columns) & set(m.columns))
+    if not on:
+        return req
+    return req.join(m.select(*on), on, "left_anti")

@@ -89,3 +89,34 @@ def test_path_step_routes_and_projects(spark):
 def test_closure_empty_edges(spark):
     e = _edges(spark, []).filter(F.lit(False))
     assert transitive_closure(e).count() == 0
+
+
+def test_bgp_optional_keeps_unmatched_with_null(spark):
+    from qendpoint_spark.plans import scan_bgp_optional
+
+    # subjects 1,2 have p=6; only 1 has p=7
+    enc = spark.createDataFrame(
+        [(1, 6, 100), (2, 6, 101), (1, 7, 200)], "s long, p long, o long"
+    )
+    got = scan_bgp_optional(
+        enc, enc, required=[("doc", 6, "lang")], optional=[("doc", 7, "ent")]
+    )
+    rows = {(r.doc, r.lang, r.ent) for r in got.collect()}
+    assert rows == {(1, 100, 200), (2, 101, None)}
+
+
+def test_bgp_minus_removes_compatible_and_keeps_disjoint(spark):
+    from qendpoint_spark.plans import scan_bgp_minus
+
+    enc = spark.createDataFrame(
+        [(1, 6, 100), (2, 6, 101), (1, 7, 200)], "s long, p long, o long"
+    )
+    got = scan_bgp_minus(
+        enc, enc, required=[("doc", 6, "lang")], minus=[("doc", 7, "ent")]
+    )
+    assert {(r.doc, r.lang) for r in got.collect()} == {(2, 101)}
+    # no shared variable: SPARQL MINUS removes nothing
+    kept = scan_bgp_minus(
+        enc, enc, required=[("doc", 6, "lang")], minus=[("x", 7, "y")]
+    )
+    assert kept.count() == 2
