@@ -36,7 +36,7 @@ def run_bench(cpus: int, expand: int, sf_dir: str, scratch: str) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=4200,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
