@@ -21,9 +21,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from qendpoint_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 from qendpoint_spark.ops_queries import OPS_ORACLES, OPS_QUERIES  # noqa: E402
 from qendpoint_spark.rel_queries import REL_ORACLES, REL_QUERIES  # noqa: E402
+from qendpoint_spark.sparql_queries import (  # noqa: E402
+    SPARQL_ORACLES,
+    SPARQL_QUERIES,
+)
 
-QUERIES = {**QUERIES, **OPS_QUERIES, **REL_QUERIES}
-ORACLES = {**ORACLES, **OPS_ORACLES, **REL_ORACLES}
+QUERIES = {**QUERIES, **OPS_QUERIES, **REL_QUERIES, **SPARQL_QUERIES}
+ORACLES = {**ORACLES, **OPS_ORACLES, **REL_ORACLES, **SPARQL_ORACLES}
 
 
 def entry(spark: SparkSession) -> DataFrame:

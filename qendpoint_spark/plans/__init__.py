@@ -1,6 +1,7 @@
 from qendpoint_spark.plans.pattern import (
     PatternStats,
     choose_order,
+    join_bindings,
     scan_bgp,
     scan_bgp_minus,
     scan_bgp_optional,
@@ -18,6 +19,7 @@ from qendpoint_spark.plans.paths import (
 __all__ = [
     "PatternStats",
     "choose_order",
+    "join_bindings",
     "scan_bgp",
     "scan_bgp_minus",
     "scan_bgp_optional",

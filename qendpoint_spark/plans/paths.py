@@ -63,15 +63,28 @@ def path_inverse(edges: DataFrame) -> DataFrame:
     )
 
 
-def path_seq(first: DataFrame, second: DataFrame) -> DataFrame:
+def path_seq(
+    first: DataFrame, second: DataFrame, n_shared: int | None = None
+) -> DataFrame:
     """`path1/path2`: join on the middle node. Distinct pairs (SPARQL
     path results are sets of bindings over the endpoints; the middle
-    node is projected away, so duplicates collapse)."""
+    node is projected away, so duplicates collapse).
+
+    The middle join matches `first`'s OBJECT-role ids against
+    `second`'s SUBJECT-role ids; in the HDT scheme those denote the
+    same term only inside the shared section, so when `n_shared` is
+    given both sides are clamped to `id <= n_shared` (see
+    plans.pattern.scan_bgp — exact without the clamp only when every
+    middle term is SH, as in this repo's grammar)."""
     mid = second.select(
         F.col("src").alias("__mid"), F.col("dst").alias("dst2")
     )
+    lhs = first
+    if n_shared is not None:
+        lhs = lhs.filter(F.col("dst") <= F.lit(n_shared))
+        mid = mid.filter(F.col("__mid") <= F.lit(n_shared))
     return (
-        first.join(mid, first["dst"] == mid["__mid"])
+        lhs.join(mid, lhs["dst"] == mid["__mid"])
         .select(F.col("src"), F.col("dst2").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
@@ -89,6 +102,7 @@ def transitive_closure(
     edges: DataFrame,
     max_hops: int | None = None,
     max_iterations: int = 64,
+    n_shared: int | None = None,
 ) -> DataFrame:
     """`p+` (max_hops=None) or `p{1,k}` (max_hops=k): distinct (src,
     dst) pairs connected by a directed path of >= 1 (and <= k) steps.
@@ -115,6 +129,10 @@ def transitive_closure(
     ext = base.select(
         F.col("src").alias("__mid"), F.col("dst").alias("__next")
     )
+    if n_shared is not None:
+        # extension joins object-role dst to subject-role src: term
+        # identity holds only in the shared section (see path_seq)
+        ext = ext.filter(F.col("__mid") <= F.lit(n_shared))
     known = base
     frontier = base
     hops = 1

@@ -125,6 +125,8 @@ def scan_bgp(
     stats: PatternStats | None = None,
     pso=None,
     broadcast_rows: int = BGP_BROADCAST_ROWS,
+    n_shared: int | None = None,
+    roles_out: dict | None = None,
 ) -> DataFrame:
     """Execute a basic graph pattern: each pattern is an (s, p, o)
     tuple whose elements are ints (bound) or strings (variable names).
@@ -139,6 +141,19 @@ def scan_bgp(
     cardinality is propagated with the textbook |A||B|/max(V(A,y),
     V(B,y)) estimate using the per-predicate distinct-subject/object
     counts as V. Returns one column per variable.
+
+    n_shared — size of the dictionary's shared (SH) section. In the
+    HDT ID scheme, subject and object IDs denote the SAME term only in
+    1..n_shared (FourSectionDictionary: S-only and O-only ids both
+    start at n_shared+1, so a numeric collision between them is a
+    DIFFERENT pair of terms — BaseDictionary.java:120-174). A variable
+    bound in subject position by one pattern and object position by
+    another therefore joins on term identity only under `id <=
+    n_shared`; passing n_shared enables that guard (a leading-range
+    filter, so it tightens Parquet pruning too). Without it the join
+    falls back to raw id equality — exact whenever the vocabulary puts
+    every cross-role join term in SH (true of this repo's extraction
+    grammar), but not in general.
     """
 
     def parts(pat):
@@ -149,6 +164,9 @@ def scan_bgp(
 
     def variables(pat):
         return {v for v in pat if isinstance(v, str)}
+
+    _ROLE = {"s": "s", "p": "p", "o": "o"}
+    var_roles: dict[str, str] = {}
 
     def leaf(pat):
         b = bound(pat)
@@ -162,10 +180,41 @@ def scan_bgp(
             if isinstance(v, str):
                 if v in var_pos:
                     df = df.filter(F.col(var_pos[v]) == F.col(k))
+                    if (
+                        n_shared is not None
+                        and {_ROLE[k], _ROLE[var_pos[v]]} == {"s", "o"}
+                    ):
+                        # s==o id equality means term equality only in SH
+                        df = df.filter(F.col(k) <= F.lit(n_shared))
                 else:
                     var_pos[v] = k
         cols = [F.col(k).alias(v) for v, k in var_pos.items()]
+        for v, k in var_pos.items():
+            prev = var_roles.get(v)
+            role = _ROLE[k]
+            if prev is None or prev == role:
+                var_roles[v] = role
+            elif {prev, role} == {"s", "o"}:
+                var_roles[v] = "so"  # joined across roles -> SH-only below
+            else:
+                raise NotImplementedError(
+                    f"variable ?{v} is used in both predicate and "
+                    "subject/object position; predicate IDs live in a "
+                    "separate namespace — rewrite the query or join on "
+                    "decoded terms"
+                )
         return df.select(*cols)
+
+    def guard_shared(df, pat):
+        """Pre-filter a new leaf / the accumulated frame to the SH id
+        range on every variable that is about to join across s/o
+        roles."""
+        if n_shared is None:
+            return df
+        for v in df.columns:
+            if var_roles.get(v) == "so":
+                df = df.filter(F.col(v) <= F.lit(n_shared))
+        return df
 
     def var_distincts(pat) -> dict[str, float]:
         """V(var): distinct-value estimate per variable of one leaf,
@@ -205,6 +254,10 @@ def scan_bgp(
         pat = remaining.pop(idx)
         on = sorted(variables(pat) & seen_vars)
         right = leaf(pat)
+        # leaf() recorded role conflicts; apply the SH guard to BOTH
+        # sides before an inner join across s/o roles
+        right = guard_shared(right, pat)
+        out = guard_shared(out, pat)
         r_est = est(pat)
         r_v = var_distincts(pat)
         if not on:
@@ -226,7 +279,68 @@ def scan_bgp(
         for v, d in r_v.items():
             acc_v[v] = min(acc_v.get(v, d), d)
         seen_vars |= variables(pat)
+    if roles_out is not None:
+        roles_out.update(var_roles)
     return out
+
+
+def join_bindings(
+    left: DataFrame,
+    right: DataFrame,
+    how: str,
+    left_roles: dict | None = None,
+    right_roles: dict | None = None,
+    n_shared: int | None = None,
+) -> DataFrame:
+    """Join two variable-binding frames on their shared columns with
+    HDT shared-section semantics: a variable bound in subject role on
+    one side and object role on the other matches by term only when
+    its id falls in the SH range (<= n_shared) — see scan_bgp. Used
+    for OPTIONAL (left), MINUS (left_anti) and cross-group joins where
+    pre-filtering the left side would wrongly drop rows, so the guard
+    goes into the join CONDITION instead."""
+    on = sorted(set(left.columns) & set(right.columns))
+    if not on:
+        if how == "left_anti":
+            return left  # never compatible -> nothing removed
+        if how == "left":
+            # disjoint OPTIONAL: every pair is compatible; an empty
+            # right side still keeps the left rows (NULL-extended)
+            return left.join(right, F.lit(True), "left")
+        return left.crossJoin(right)
+    guard_vars = set()
+    if left_roles and right_roles:
+        for v in on:
+            lr, rr = left_roles.get(v), right_roles.get(v)
+            if lr is None or rr is None:
+                continue
+            if ("p" in (lr, rr)) and lr != rr:
+                raise NotImplementedError(
+                    f"variable ?{v} joins predicate role against "
+                    "subject/object role across groups — predicate IDs "
+                    "are a separate namespace"
+                )
+            if n_shared is not None and (lr != rr or "so" in (lr, rr)):
+                guard_vars.add(v)
+    if not guard_vars:
+        src = right.select(*on) if how in ("left_anti", "left_semi") else right
+        return left.join(src, on, how)
+    renamed = right
+    for v in on:
+        renamed = renamed.withColumnRenamed(v, f"__r_{v}")
+    cond = None
+    for v in on:
+        c = left[v] == renamed[f"__r_{v}"]
+        if v in guard_vars:
+            c = c & (left[v] <= F.lit(n_shared))
+        cond = c if cond is None else (cond & c)
+    joined = left.join(renamed, cond, how)
+    if how in ("left_anti", "left_semi"):
+        return joined
+    keep = [left[c] for c in left.columns] + [
+        renamed[c] for c in renamed.columns if not c.startswith("__r_")
+    ]
+    return joined.select(*keep)
 
 
 def scan_bgp_optional(
@@ -236,16 +350,20 @@ def scan_bgp_optional(
     optional: list[tuple],
     stats: PatternStats | None = None,
     pso=None,
+    n_shared: int | None = None,
 ) -> DataFrame:
     """SPARQL OPTIONAL: solutions of `required` left-extended by the
     `optional` group on their shared variables (unmatched rows keep
     NULL bindings — RDF4J's LeftJoin node, supplied by the RDF4J
     algebra in the reference; here it is literally Catalyst's left
     outer join, so AQE still picks broadcast/SMJ per side)."""
-    req = scan_bgp(spo, ops, required, stats=stats, pso=pso)
-    opt = scan_bgp(spo, ops, optional, stats=stats, pso=pso)
-    on = sorted(set(req.columns) & set(opt.columns))
-    return req.join(opt, on, "left")
+    req_roles: dict = {}
+    opt_roles: dict = {}
+    req = scan_bgp(spo, ops, required, stats=stats, pso=pso,
+                   n_shared=n_shared, roles_out=req_roles)
+    opt = scan_bgp(spo, ops, optional, stats=stats, pso=pso,
+                   n_shared=n_shared, roles_out=opt_roles)
+    return join_bindings(req, opt, "left", req_roles, opt_roles, n_shared)
 
 
 def scan_bgp_minus(
@@ -255,14 +373,16 @@ def scan_bgp_minus(
     minus: list[tuple],
     stats: PatternStats | None = None,
     pso=None,
+    n_shared: int | None = None,
 ) -> DataFrame:
     """SPARQL MINUS: drop solutions that share bindings with a match of
     the `minus` group — an anti-join on the shared variables. With no
     shared variable the groups are never compatible, so (per SPARQL
     semantics) nothing is removed."""
-    req = scan_bgp(spo, ops, required, stats=stats, pso=pso)
-    m = scan_bgp(spo, ops, minus, stats=stats, pso=pso)
-    on = sorted(set(req.columns) & set(m.columns))
-    if not on:
-        return req
-    return req.join(m.select(*on), on, "left_anti")
+    req_roles: dict = {}
+    m_roles: dict = {}
+    req = scan_bgp(spo, ops, required, stats=stats, pso=pso,
+                   n_shared=n_shared, roles_out=req_roles)
+    m = scan_bgp(spo, ops, minus, stats=stats, pso=pso,
+                 n_shared=n_shared, roles_out=m_roles)
+    return join_bindings(req, m, "left_anti", req_roles, m_roles, n_shared)

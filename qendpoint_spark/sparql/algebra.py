@@ -1,0 +1,899 @@
+"""SPARQL algebra -> DataFrame compiler over the encoded HDT-style tables.
+
+The reference evaluates SPARQL by handing RDF4J's algebra tree an
+HDT-backed triple source plus per-predicate statistics
+(EndpointStore / EndpointStoreEvaluationStatisticsHDT.java). Here the
+same split is Spark-native: `parser.parse_query` produces the algebra,
+and this module compiles it onto the routed pattern/path planners
+(plans.pattern, plans.paths) so Catalyst plans the joins. Bindings are
+carried as dictionary IDs (longs) end to end — lexical term strings
+materialize only where a FILTER / BIND / projection needs a value
+(late materialization, the reference's ID->Value bridging).
+
+Supported subset (documented, raising loudly outside it):
+  SELECT / ASK / CONSTRUCT; BGPs with `;`/`,`/`a`; property paths
+  `/ | ^ + * {1,n}`; OPTIONAL / MINUS / UNION / VALUES / BIND / FILTER
+  (comparisons, && || !, arithmetic, REGEX/STR/LANG/DATATYPE/BOUND/
+  STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/LCASE/ABS/COALESCE/IF);
+  GROUP BY + COUNT/SUM/AVG/MIN/MAX + HAVING; DISTINCT; ORDER BY;
+  LIMIT/OFFSET. Not supported: SERVICE, subqueries, EXISTS filters,
+  named graphs in the query (GRAPH), UNDEF in VALUES, aggregate
+  expressions over computed args.
+
+ID-space correctness: a variable joining subject- against object-role
+bindings is clamped to the shared section (id <= n_shared) — see
+plans.pattern.scan_bgp. A variable joining predicate- against
+subject/object-role bindings falls back to joining on decoded term
+strings (predicate IDs are their own namespace).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qendpoint_spark.dictionary.builder import (
+    object_map,
+    predicate_map,
+    subject_map,
+)
+from qendpoint_spark.plans import (
+    PatternStats,
+    join_bindings,
+    path_alt,
+    path_inverse,
+    path_seq,
+    path_step,
+    path_zero_or_more,
+    scan_bgp,
+    transitive_closure,
+)
+from qendpoint_spark.sparql.parser import (
+    Aggregate,
+    BinOp,
+    BindClause,
+    FilterClause,
+    FuncCall,
+    GroupGraphPattern,
+    MinusGroup,
+    NumLit,
+    OptionalGroup,
+    PathAlt,
+    PathInv,
+    PathPred,
+    PathRepeat,
+    PathSeq,
+    Query,
+    StrLit,
+    Term,
+    TriplePattern,
+    UnaryOp,
+    UnionGroup,
+    ValuesClause,
+    Var,
+    parse_query,
+)
+
+#: binding-column kinds: which ID space (or value form) a variable's
+#: column holds. 's'/'o'/'p' = that role's dictionary id; 'so' =
+#: joined across subject/object roles (known SH); 'term' = lexical
+#: term string; 'val' = computed plain value (BIND / aggregate).
+_ID_KINDS = ("s", "o", "p", "so")
+
+# extracts the lexical value of a literal: group 1 of `"<value>"` with
+# an optional @lang / ^^<dt> suffix; (?s) so embedded newlines match
+_LIT_VALUE_RE = r'(?s)^"(.*)"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$'
+
+
+@dataclass
+class _BFrame:
+    df: DataFrame
+    kinds: dict  # var name -> kind
+
+
+def _is_true(bf: _BFrame) -> bool:
+    return bool(bf.df.take(1))
+
+
+class SparqlEngine:
+    """Execute SPARQL strings against one encoded dataset.
+
+    Parameters mirror what the rest of the repo materializes: the
+    encoded (s,p,o) table (or prebuilt spo/ops sorted tables), the
+    dictionary, optionally the PSO table and PatternStats for routed
+    scans and stats-driven BGP ordering.
+    """
+
+    def __init__(
+        self,
+        enc: DataFrame | None = None,
+        dict_terms: DataFrame | None = None,
+        *,
+        spo: DataFrame | None = None,
+        ops: DataFrame | None = None,
+        pso: DataFrame | None = None,
+        stats: PatternStats | None = None,
+    ):
+        if dict_terms is None:
+            raise ValueError("SparqlEngine requires dict_terms")
+        from qendpoint_spark.encoding import ops_table, spo_table
+
+        if spo is None or ops is None:
+            if enc is None:
+                raise ValueError("pass enc or prebuilt spo+ops tables")
+            spo = spo_table(enc)
+            ops = ops_table(enc)
+        self.spo = spo
+        self.ops = ops
+        self.pso = pso
+        self.stats = stats
+        self.dict_terms = dict_terms
+        self._n_shared: int | None = None
+        self._maps: dict[str, DataFrame] = {}
+        self._consts: dict[tuple[str, str], int] = {}
+
+    # -- dictionary access ----------------------------------------------
+
+    @property
+    def n_shared(self) -> int:
+        if self._n_shared is None:
+            self._n_shared = int(
+                self.dict_terms.filter(F.col("section") == "SH").count()
+            )
+        return self._n_shared
+
+    def _role_map(self, kind: str) -> DataFrame:
+        """(term, id) for one ID space; SH ids are valid in both the
+        subject and object maps (same id, same term)."""
+        role = "s" if kind == "so" else kind
+        if role not in self._maps:
+            if role == "s":
+                m = subject_map(self.dict_terms).select(
+                    "term", F.col("sid").alias("id")
+                )
+            elif role == "o":
+                m = object_map(self.dict_terms).select(
+                    "term", F.col("oid").alias("id")
+                )
+            elif role == "p":
+                m = predicate_map(self.dict_terms).select(
+                    "term", F.col("pid").alias("id")
+                )
+            else:
+                raise ValueError(f"no dictionary map for kind {kind!r}")
+            self._maps[role] = m
+        return self._maps[role]
+
+    def _prefetch_consts(self, pairs: set[tuple[str, str]]) -> None:
+        """Resolve all (role, lexical) constants of a query in at most
+        one bounded collect per role — the engine-side analog of a
+        SPARQL engine looking up the query's constant terms in the
+        dictionary before evaluation."""
+        by_role: dict[str, list[str]] = {}
+        for role, lex in pairs:
+            if (role, lex) not in self._consts:
+                by_role.setdefault("s" if role == "so" else role, []).append(lex)
+        for role, terms in by_role.items():
+            rows = (
+                self._role_map(role)
+                .filter(F.col("term").isin(terms))
+                .collect()
+            )
+            found = {r["term"]: int(r["id"]) for r in rows}
+            for lex in terms:
+                # -1 is outside every ID space: an absent term makes
+                # its pattern match nothing, exactly like the reference
+                # returning empty iterators for unknown dictionary ids
+                self._consts[(role, lex)] = found.get(lex, -1)
+
+    def _const_id(self, role: str, lex: str) -> int:
+        key = ("s" if role == "so" else role, lex)
+        if key not in self._consts:
+            self._prefetch_consts({key})
+        return self._consts[key]
+
+    # -- public API ------------------------------------------------------
+
+    def query(self, text: str) -> DataFrame:
+        return self.execute(parse_query(text))
+
+    def execute(self, q: Query) -> DataFrame:
+        self._prefetch_consts(_collect_consts(q))
+        bf = self._compile_group(q.where)
+        if q.form == "ASK":
+            spark = self.spo.sparkSession
+            return spark.range(1).select(F.lit(_is_true(bf)).alias("ask"))
+        if q.form == "CONSTRUCT":
+            return self._construct(bf, q)
+        return self._select(bf, q)
+
+    # -- group graph patterns -------------------------------------------
+
+    def _compile_group(self, ggp: GroupGraphPattern) -> _BFrame:
+        acc: _BFrame | None = None
+        pending: list[tuple] = []
+        filters: list = []
+        values: list[ValuesClause] = []
+        bn = [0]
+
+        def conv(x, role: str):
+            """Pattern position -> scan_bgp element (var name or id).
+            A blank node in the query is a non-distinguished variable
+            (SPARQL 1.1 §4.1.4), not a term lookup."""
+            if isinstance(x, Var):
+                return x.name
+            if isinstance(x, NumLit):
+                x = x.as_term()
+            if x.lex.startswith("_:"):
+                return f"__bn_{x.lex[2:]}"
+            return self._const_id(role, x.lex)
+
+        def flush():
+            nonlocal acc, pending
+            if not pending:
+                return
+            roles: dict = {}
+            df = scan_bgp(
+                self.spo,
+                self.ops,
+                pending,
+                stats=self.stats,
+                pso=self.pso,
+                n_shared=self.n_shared,
+                roles_out=roles,
+            )
+            pending = []
+            bf = _BFrame(df, dict(roles))
+            acc = bf if acc is None else self._join(acc, bf, "inner")
+
+        for el in ggp.elements:
+            if isinstance(el, TriplePattern):
+                if isinstance(el.p, (Term, Var)):
+                    pending.append(
+                        (conv(el.s, "s"), conv(el.p, "p"), conv(el.o, "o"))
+                    )
+                else:
+                    flush()
+                    bf = self._compile_path_pattern(el, bn)
+                    acc = bf if acc is None else self._join(acc, bf, "inner")
+            elif isinstance(el, FilterClause):
+                filters.append(el.expr)
+            elif isinstance(el, OptionalGroup):
+                flush()
+                sub = self._compile_group(el.group)
+                acc = sub if acc is None else self._join(acc, sub, "left")
+            elif isinstance(el, MinusGroup):
+                flush()
+                sub = self._compile_group(el.group)
+                if acc is None:
+                    raise NotImplementedError("MINUS before any pattern")
+                acc = self._join(acc, sub, "left_anti")
+            elif isinstance(el, UnionGroup):
+                flush()
+                sub = self._union(
+                    [self._compile_group(b) for b in el.branches]
+                )
+                acc = sub if acc is None else self._join(acc, sub, "inner")
+            elif isinstance(el, BindClause):
+                flush()
+                if acc is None:
+                    raise NotImplementedError("BIND before any pattern")
+                if el.var.name in acc.kinds:
+                    raise ValueError(f"BIND rebinds ?{el.var.name}")
+                col, _ = self._expr(el.expr, acc)
+                acc.df = acc.df.withColumn(el.var.name, col)
+                acc.kinds[el.var.name] = "val"
+            elif isinstance(el, ValuesClause):
+                values.append(el)
+            else:
+                raise NotImplementedError(f"unsupported element {el!r}")
+        flush()
+        if acc is None:
+            raise NotImplementedError("empty group graph pattern")
+        for vc in values:
+            acc = self._join(acc, self._values_frame(vc, acc), "inner")
+        for expr in filters:
+            col, _ = self._expr(expr, acc)
+            acc.df = acc.df.filter(col.cast("boolean"))
+        acc.df = _drop_aux(acc.df)
+        return acc
+
+    def _union(self, branches: list[_BFrame]) -> _BFrame:
+        """UNION: concatenate solution sets, padding absent variables
+        with NULL. Branches that bind a variable in incompatible ID
+        spaces are reconciled by decoding that variable to term
+        strings first (rare; keeps term identity exact). An 'so'
+        binding unions losslessly with 's' or 'o' — SH ids carry the
+        same value in both maps."""
+
+        def merge_kind(k1: str, k2: str) -> str:
+            if k1 == k2:
+                return k1
+            if {k1, k2} == {"s", "so"}:
+                return "s"
+            if {k1, k2} == {"o", "so"}:
+                return "o"
+            return "term"
+
+        kinds: dict = {}
+        for b in branches:
+            for v, k in b.kinds.items():
+                kinds[v] = merge_kind(kinds[v], k) if v in kinds else k
+        for b in branches:
+            for v, k in list(b.kinds.items()):
+                if kinds[v] == "term" and k != "term":
+                    self._to_term(b, v)
+        out = None
+        for b in branches:
+            df = _drop_aux(b.df)
+            for v in kinds:
+                if v not in b.kinds:
+                    df = df.withColumn(
+                        v,
+                        F.lit(None).cast(
+                            "long" if kinds[v] in _ID_KINDS else "string"
+                        ),
+                    )
+            df = df.select(*sorted(kinds))
+            out = df if out is None else out.unionByName(df)
+        return _BFrame(out, kinds)
+
+    def _values_frame(self, vc: ValuesClause, acc: _BFrame) -> _BFrame:
+        """Inline data: resolve each term in the ID space its variable
+        is bound in (known by now from the group's patterns)."""
+        spark = self.spo.sparkSession
+        names = [v.name for v in vc.variables]
+        kinds = {}
+        for n in names:
+            k = acc.kinds.get(n, "s")
+            if k in ("term", "val"):
+                k = "term"
+            kinds[n] = "so" if k == "so" else k
+        rows = []
+        for row in vc.rows:
+            out_row = []
+            for n, cell in zip(names, row):
+                if cell is None:
+                    raise NotImplementedError("UNDEF in VALUES")
+                t = cell.as_term() if isinstance(cell, NumLit) else cell
+                if kinds[n] == "term":
+                    out_row.append(t.lex)
+                else:
+                    out_row.append(self._const_id(kinds[n], t.lex))
+            rows.append(tuple(out_row))
+        schema = ", ".join(
+            f"{n} {'string' if kinds[n] == 'term' else 'long'}" for n in names
+        )
+        return _BFrame(spark.createDataFrame(rows, schema), kinds)
+
+    # -- property paths --------------------------------------------------
+
+    def _compile_path(self, node) -> tuple[DataFrame, str, str]:
+        """Compile a path expression to (edges(src,dst), src_role,
+        dst_role). Roles track which ID space each endpoint column
+        holds: a plain step binds (subject, object) ids; inverse swaps
+        them; composition propagates them. The seq/closure middle join
+        is clamped to the shared section ONLY when it joins differing
+        roles — e.g. `p/^p` joins object ids against object ids and
+        must NOT be clamped."""
+        if isinstance(node, PathPred):
+            return (
+                path_step(
+                    self.spo, self.ops, p=self._const_id("p", node.iri),
+                    pso=self.pso,
+                ),
+                "s",
+                "o",
+            )
+        if isinstance(node, PathInv):
+            df, sr, dr = self._compile_path(node.inner)
+            return path_inverse(df), dr, sr
+        if isinstance(node, PathSeq):
+            out, sr, dr = self._compile_path(node.steps[0])
+            for step in node.steps[1:]:
+                nxt, nsr, ndr = self._compile_path(step)
+                clamp = self.n_shared if dr != nsr else None
+                out = path_seq(out, nxt, n_shared=clamp)
+                dr = ndr
+            return out, sr, dr
+        if isinstance(node, PathAlt):
+            parts = [self._compile_path(a) for a in node.alts]
+            roles = {(sr, dr) for _, sr, dr in parts}
+            if len(roles) > 1:
+                raise NotImplementedError(
+                    "path alternatives binding different ID spaces "
+                    "(e.g. p|^p) are not supported in ID space"
+                )
+            sr, dr = parts[0][1], parts[0][2]
+            return path_alt(*(df for df, _, _ in parts)), sr, dr
+        if isinstance(node, PathRepeat):
+            inner, sr, dr = self._compile_path(node.inner)
+            if node.min_hops != 1:
+                raise NotImplementedError(
+                    f"path repetition with min={node.min_hops} must be "
+                    "handled at the pattern level (see "
+                    "_compile_path_pattern)"
+                )
+            clamp = self.n_shared if dr != sr else None
+            return (
+                transitive_closure(
+                    inner, max_hops=node.max_hops, n_shared=clamp
+                ),
+                sr,
+                dr,
+            )
+        raise NotImplementedError(f"unsupported path node {node!r}")
+
+    def _compile_path_pattern(self, tp: TriplePattern, bn: list) -> _BFrame:
+        if isinstance(tp.p, PathRepeat) and tp.p.min_hops == 0:
+            # `p*` = `p+` UNION zero-length paths over the incident
+            # nodes. The zero part binds BOTH endpoints to the same
+            # node, whose id may come from either endpoint's ID space —
+            # built as two single-role frames so _union reconciles the
+            # spaces (decoding to terms only if the roles conflict).
+            plus = self._compile_path_pattern(
+                TriplePattern(
+                    tp.s, PathRepeat(tp.p.inner, 1, tp.p.max_hops), tp.o
+                ),
+                bn,
+            )
+            if not (isinstance(tp.s, Var) and isinstance(tp.o, Var)):
+                raise NotImplementedError(
+                    "zero-or-more paths need variable endpoints"
+                )
+            inner, sr, dr = self._compile_path(tp.p.inner)
+            sv, ov = tp.s.name, tp.o.name
+            zero_src = _BFrame(
+                inner.select(
+                    F.col("src").alias(sv), F.col("src").alias(ov)
+                ).distinct(),
+                {sv: sr, ov: sr},
+            )
+            zero_dst = _BFrame(
+                inner.select(
+                    F.col("dst").alias(sv), F.col("dst").alias(ov)
+                ).distinct(),
+                {sv: dr, ov: dr},
+            )
+            u = self._union([plus, zero_src, zero_dst])
+            u.df = u.df.dropDuplicates(sorted(u.kinds))
+            return u
+        edges, src_role, dst_role = self._compile_path(tp.p)
+        kinds: dict = {}
+        df = edges
+
+        def endpoint(x, col, role):
+            nonlocal df
+            if isinstance(x, Var):
+                name = x.name
+            elif isinstance(x, Term) and x.lex.startswith("_:"):
+                name = f"__bn_{x.lex[2:]}"
+            else:
+                t = x.as_term() if isinstance(x, NumLit) else x
+                df = df.filter(F.col(col) == F.lit(self._const_id(role, t.lex)))
+                df = df.drop(col)
+                return
+            if name in kinds:  # same var on both endpoints
+                other = "src" if col == "dst" else "dst"
+                cond = F.col(other) == F.col(col)
+                if role != kinds[name]:
+                    # cross-role equality holds only in the SH range
+                    cond = cond & (F.col(col) <= F.lit(self.n_shared))
+                    kinds[name] = "so"
+                df = df.filter(cond).drop(col)
+                return
+            df = df.withColumnRenamed(col, name)
+            kinds[name] = role
+
+        endpoint(tp.s, "src", src_role)
+        endpoint(tp.o, "dst", dst_role)
+        if not kinds:  # both endpoints constant: pure existence
+            bn[0] += 1
+            df = df.select(F.lit(1).alias(f"__aux_e{bn[0]}")).limit(1)
+        return _BFrame(df, kinds)
+
+    # -- binding joins ---------------------------------------------------
+
+    def _join(self, a: _BFrame, b: _BFrame, how: str) -> _BFrame:
+        # hidden decode columns must never act as join keys
+        a.df = _drop_aux(a.df)
+        b.df = _drop_aux(b.df)
+        on = sorted(set(a.kinds) & set(b.kinds))
+        for v in on:
+            ka, kb = a.kinds[v], b.kinds[v]
+            id_a, id_b = ka in _ID_KINDS, kb in _ID_KINDS
+            if id_a and id_b:
+                if "p" in (ka, kb) and ka != kb:
+                    self._to_term(a, v)
+                    self._to_term(b, v)
+            elif ka == "term" and kb == "term":
+                pass
+            else:
+                if "val" in (ka, kb):
+                    raise NotImplementedError(
+                        f"joining BIND-computed ?{v} with pattern bindings"
+                    )
+                if id_a:
+                    self._to_term(a, v)
+                if id_b:
+                    self._to_term(b, v)
+        roles_a = {v: k for v, k in a.kinds.items() if k in _ID_KINDS}
+        roles_b = {v: k for v, k in b.kinds.items() if k in _ID_KINDS}
+        df = join_bindings(a.df, b.df, how, roles_a, roles_b, self.n_shared)
+        df = _drop_aux(df)
+        if how == "left_anti":
+            return _BFrame(df, dict(a.kinds))
+        kinds = dict(a.kinds)
+        for v, kb in b.kinds.items():
+            if v in kinds:
+                ka = kinds[v]
+                if ka != kb and {ka, kb} <= {"s", "o", "so"}:
+                    kinds[v] = "so"
+            else:
+                kinds[v] = kb
+        kinds = {v: k for v, k in kinds.items() if not v.startswith("__aux")}
+        return _BFrame(df, kinds)
+
+    def _to_term(self, bf: _BFrame, v: str) -> None:
+        """Replace a variable's ID column with its lexical term string
+        (the ID->Value bridge). Left join so OPTIONAL NULLs survive."""
+        k = bf.kinds[v]
+        if k in ("term", "val"):
+            bf.kinds[v] = "term"
+            return
+        m = self._role_map(k).select(
+            F.col("term").alias("__aux_t"), F.col("id").alias("__aux_i")
+        )
+        if k == "p":
+            m = F.broadcast(m)
+        bf.df = (
+            bf.df.join(m, bf.df[v] == m["__aux_i"], "left")
+            .drop("__aux_i")
+            .drop(v)
+            .withColumnRenamed("__aux_t", v)
+        )
+        bf.kinds[v] = "term"
+
+    def _lex(self, bf: _BFrame, v: str) -> Column:
+        """Lexical term string for a variable, materializing a hidden
+        decode column on first use."""
+        k = bf.kinds[v]
+        if k in ("term", "val"):
+            return bf.df[v]
+        hidden = f"__lex_{v}"
+        if hidden not in bf.df.columns:
+            m = self._role_map(k).select(
+                F.col("term").alias(hidden), F.col("id").alias("__aux_i")
+            )
+            if k == "p":
+                m = F.broadcast(m)
+            bf.df = bf.df.join(
+                m, bf.df[v] == m["__aux_i"], "left"
+            ).drop("__aux_i")
+        return bf.df[hidden]
+
+    # -- expressions -----------------------------------------------------
+
+    def _expr(self, node, bf: _BFrame) -> tuple[Column, str]:
+        """Compile an expression AST to (Column, type) with type in
+        num | str | bool | term | val."""
+        if isinstance(node, Var):
+            if node.name not in bf.kinds:
+                return F.lit(None), "val"
+            k = bf.kinds[node.name]
+            if k == "val":
+                return bf.df[node.name], "val"
+            return self._lex(bf, node.name), "term"
+        if isinstance(node, NumLit):
+            return F.lit(node.value), "num"
+        if isinstance(node, StrLit):
+            return F.lit(node.value), "str"
+        if isinstance(node, Term):
+            return F.lit(node.lex), "term"
+        if isinstance(node, UnaryOp):
+            c, t = self._expr(node.operand, bf)
+            if node.op == "!":
+                return ~c.cast("boolean"), "bool"
+            return -_as_num(c, t), "num"
+        if isinstance(node, BinOp):
+            return self._binop(node, bf)
+        if isinstance(node, FuncCall):
+            return self._func(node, bf)
+        raise NotImplementedError(f"unsupported expression {node!r}")
+
+    def _binop(self, node: BinOp, bf: _BFrame) -> tuple[Column, str]:
+        op = node.op
+        lc, lt = self._expr(node.left, bf)
+        rc, rt = self._expr(node.right, bf)
+        if op in ("||", "&&"):
+            lb, rb = lc.cast("boolean"), rc.cast("boolean")
+            return (lb | rb) if op == "||" else (lb & rb), "bool"
+        if op in ("+", "-", "*", "/"):
+            ln, rn = _as_num(lc, lt), _as_num(rc, rt)
+            return {
+                "+": ln + rn, "-": ln - rn, "*": ln * rn, "/": ln / rn
+            }[op], "num"
+        # comparisons: numeric when either side is numeric, else string
+        numeric = "num" in (lt, rt) or "val" in (lt, rt)
+        if numeric:
+            lc, rc = _as_num(lc, lt), _as_num(rc, rt)
+        else:
+            # term-vs-plain-string equality is RDF term equality: wrap
+            # the plain string as a plain-literal lexical form
+            if lt == "term" and rt == "str":
+                rc = F.concat(F.lit('"'), rc, F.lit('"'))
+            elif rt == "term" and lt == "str":
+                lc = F.concat(F.lit('"'), lc, F.lit('"'))
+        cmp = {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
+        }[op]
+        return cmp, "bool"
+
+    def _func(self, node: FuncCall, bf: _BFrame) -> tuple[Column, str]:
+        name = node.name
+
+        def arg(i, want=None):
+            c, t = self._expr(node.args[i], bf)
+            if want == "str":
+                return _as_str(c, t)
+            if want == "num":
+                return _as_num(c, t)
+            return c, t
+
+        if name == "BOUND":
+            v = node.args[0]
+            if not isinstance(v, Var):
+                raise ValueError("BOUND takes a variable")
+            if v.name not in bf.kinds:
+                return F.lit(False), "bool"
+            return bf.df[v.name].isNotNull(), "bool"
+        if name == "STR":
+            return arg(0, "str"), "str"
+        if name == "LANG":
+            c, t = arg(0)
+            return F.coalesce(
+                F.regexp_extract(c, r"@([A-Za-z0-9-]+)$", 1), F.lit("")
+            ), "str"
+        if name == "DATATYPE":
+            c, t = arg(0)
+            dt = F.regexp_extract(c, r"\^\^<([^>]*)>$", 1)
+            return F.when(dt != "", dt).when(
+                c.startswith('"'),
+                F.lit("http://www.w3.org/2001/XMLSchema#string"),
+            ).otherwise(F.lit("")), "str"
+        if name == "REGEX":
+            s = arg(0, "str")
+            pat = node.args[1]
+            if not isinstance(pat, StrLit):
+                raise NotImplementedError("REGEX pattern must be a literal")
+            return s.rlike(pat.value), "bool"
+        if name in ("STRSTARTS", "STRENDS", "CONTAINS"):
+            a = arg(0, "str")
+            b = arg(1, "str")
+            fn = {
+                "STRSTARTS": a.startswith(b),
+                "STRENDS": a.endswith(b),
+                "CONTAINS": a.contains(b),
+            }[name]
+            return fn, "bool"
+        if name == "STRLEN":
+            return F.length(arg(0, "str")), "num"
+        if name == "UCASE":
+            return F.upper(arg(0, "str")), "str"
+        if name == "LCASE":
+            return F.lower(arg(0, "str")), "str"
+        if name == "ABS":
+            return F.abs(arg(0, "num")), "num"
+        if name == "COALESCE":
+            cols = [self._expr(a, bf)[0] for a in node.args]
+            return F.coalesce(*cols), "val"
+        if name == "IF":
+            c, _ = self._expr(node.args[0], bf)
+            a, ta = self._expr(node.args[1], bf)
+            b, _ = self._expr(node.args[2], bf)
+            return F.when(c.cast("boolean"), a).otherwise(b), ta
+        raise NotImplementedError(f"function {name}")
+
+    # -- query forms -----------------------------------------------------
+
+    def _select(self, bf: _BFrame, q: Query) -> DataFrame:
+        aggs = [p for p in q.projection if isinstance(p, Aggregate)]
+        if aggs or q.group_by:
+            bf = self._aggregate(bf, q)
+        if q.projection:
+            out_cols = [
+                p.name if isinstance(p, Var) else p.alias
+                for p in q.projection
+            ]
+        else:  # SELECT *
+            out_cols = list(bf.kinds)
+        # decode projected id columns to lexical terms
+        for c in out_cols:
+            if c in bf.kinds and bf.kinds[c] in _ID_KINDS:
+                self._to_term(bf, c)
+        # sort keys become named columns BEFORE projection so ORDER BY
+        # over non-projected variables / expressions still works; with
+        # DISTINCT the keys are functionally dependent on the projected
+        # row in every supported query, so including them in the dedup
+        # key is exact
+        sort_cols: list[tuple[str, bool]] = []
+        for i, (expr, asc) in enumerate(q.order_by):
+            col, _ = self._expr(expr, bf)
+            name = f"__ob_{i}"
+            bf.df = bf.df.withColumn(name, col)
+            sort_cols.append((name, asc))
+        df = bf.df
+        if q.distinct:
+            df = df.dropDuplicates(out_cols + [n for n, _ in sort_cols])
+        if sort_cols:
+            df = df.sort(
+                *[
+                    F.col(n).asc() if asc else F.col(n).desc()
+                    for n, asc in sort_cols
+                ]
+            )
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df.select(*out_cols)
+
+    def _aggregate(self, bf: _BFrame, q: Query) -> _BFrame:
+        group_vars = [v.name for v in q.group_by]
+        aggs = [p for p in q.projection if isinstance(p, Aggregate)]
+        exprs = []
+        for a in aggs:
+            if a.arg == "*":
+                col = F.count(F.lit(1))
+            else:
+                v = a.arg.name
+                if v not in bf.kinds:
+                    raise ValueError(f"aggregate over unbound ?{v}")
+                if a.func == "COUNT":
+                    col = (
+                        F.count_distinct(bf.df[v])
+                        if a.distinct
+                        else F.count(bf.df[v])
+                    )
+                else:
+                    num = _as_num(
+                        self._lex(bf, v),
+                        "term" if bf.kinds[v] != "val" else "val",
+                    )
+                    fn = {
+                        "SUM": F.sum_distinct if a.distinct else F.sum,
+                        "AVG": F.avg,
+                        "MIN": F.min,
+                        "MAX": F.max,
+                    }[a.func]
+                    col = fn(num)
+            exprs.append(col.alias(a.alias))
+        if group_vars:
+            gdf = bf.df.groupBy(*[bf.df[v] for v in group_vars]).agg(*exprs)
+        else:
+            gdf = bf.df.agg(*exprs)
+        kinds = {v: bf.kinds[v] for v in group_vars}
+        kinds.update({a.alias: "val" for a in aggs})
+        out = _BFrame(gdf, kinds)
+        if q.having is not None:
+            col, _ = self._expr(q.having, out)
+            out.df = out.df.filter(col.cast("boolean"))
+        return out
+
+    def _construct(self, bf: _BFrame, q: Query) -> DataFrame:
+        frames = []
+        for tp in q.template:
+            cols = []
+            notnull = []
+            for name, x in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+                if isinstance(x, Var):
+                    c = self._lex(bf, x.name)
+                    cols.append(c.alias(name))
+                    notnull.append(c.isNotNull())
+                else:
+                    t = x.as_term() if isinstance(x, NumLit) else x
+                    cols.append(F.lit(t.lex).alias(name))
+            df = bf.df
+            # SPARQL skips template instantiations with unbound vars
+            cond = None
+            for c in notnull:
+                cond = c if cond is None else (cond & c)
+            sel = df.select(*cols)
+            if cond is not None:
+                sel = df.filter(cond).select(*cols)
+            frames.append(sel)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.dropDuplicates(["s", "p", "o"])
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _drop_aux(df: DataFrame) -> DataFrame:
+    aux = [c for c in df.columns if c.startswith("__aux") or c.startswith("__lex_")]
+    return df.drop(*aux) if aux else df
+
+
+def _as_num(c: Column, t: str) -> Column:
+    """Numeric value of an expression: literals extract their lexical
+    value (non-numeric -> NULL, which drops the row in a FILTER —
+    SPARQL's type-error-eliminates-solution semantics). try_cast, not
+    cast: under ANSI mode Catalyst may push this expression below the
+    decode join into the full dictionary scan, where non-numeric
+    terms are expected and must yield NULL, not a task failure."""
+    if t == "num":
+        return c
+    if t in ("val",):
+        return c.try_cast("double")
+    if t in ("term", "str"):
+        return F.when(
+            c.startswith('"'),
+            F.regexp_extract(c, _LIT_VALUE_RE, 1),
+        ).otherwise(c).try_cast("double")
+    return c.try_cast("double")
+
+
+def _as_str(c_t, t: str | None = None) -> Column:
+    """SPARQL STR(): literal lexical value, or the IRI text itself."""
+    if t is None:
+        c, t = c_t
+    else:
+        c = c_t
+    if t in ("num", "val"):
+        return c.cast("string")
+    if t == "str":
+        return c
+    return F.when(
+        c.startswith('"'), F.regexp_extract(c, _LIT_VALUE_RE, 1)
+    ).otherwise(c)
+
+
+def _collect_consts(q: Query) -> set[tuple[str, str]]:
+    """All (role, lexical) constants a query will look up — one walk,
+    so _prefetch_consts can batch the dictionary lookups."""
+    out: set[tuple[str, str]] = set()
+
+    def term(x, role):
+        if isinstance(x, NumLit):
+            x = x.as_term()
+        if isinstance(x, Term) and not x.lex.startswith("_:"):
+            out.add((role, x.lex))
+
+    def path(node):
+        if isinstance(node, PathPred):
+            out.add(("p", node.iri))
+        elif isinstance(node, PathInv):
+            path(node.inner)
+        elif isinstance(node, PathSeq):
+            for s in node.steps:
+                path(s)
+        elif isinstance(node, PathAlt):
+            for a in node.alts:
+                path(a)
+        elif isinstance(node, PathRepeat):
+            path(node.inner)
+
+    def group(g: GroupGraphPattern):
+        for el in g.elements:
+            if isinstance(el, TriplePattern):
+                term(el.s, "s")
+                term(el.o, "o")
+                if isinstance(el.p, Term):
+                    out.add(("p", el.p.lex))
+                elif not isinstance(el.p, Var):
+                    path(el.p)
+            elif isinstance(el, OptionalGroup):
+                group(el.group)
+            elif isinstance(el, MinusGroup):
+                group(el.group)
+            elif isinstance(el, UnionGroup):
+                for b in el.branches:
+                    group(b)
+
+    group(q.where)
+    return out

@@ -1,0 +1,222 @@
+"""Driver-gate rows for the SPARQL text front-end (sparql/).
+
+Each row runs a SPARQL *string* through SparqlEngine against the
+encoded tables built from the documents corpus — exercising the whole
+stack: extraction grammar -> dictionary -> encode -> parser -> routed
+BGP/path planner -> late-materialized decode. The oracles recompute
+the same answers in DuckDB at the string-triple level (the `triples`
+CTE from entry_queries mirrors the extraction grammar exactly), so a
+pass means the ID round-trip through the engine is value-exact.
+
+Reference anchor: the reference's user API is SPARQL text over the
+HDT store (EndpointStore + RDF4J SPARQLParser); these rows are the
+parity checks a reference user would care about when switching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qendpoint_spark.entry_queries import (
+    _dict,
+    _enc,
+    _triples_cte,
+)
+
+_P = "PREFIX p: <http://example.org/prop/>\n"
+_PRE = "\nWITH " + _triples_cte("triples") + "\n"
+
+_MENTIONS = "http://example.org/prop/mentions"
+_LABEL = "http://example.org/prop/label"
+_LANG = "http://example.org/prop/lang"
+_SOURCE = "http://example.org/prop/source"
+_NCHARS = "http://example.org/prop/nchars"
+_CRAWL = "http://example.org/prop/crawldate"
+_FLAG = "http://example.org/prop/flag"
+_PROV = "http://example.org/prop/provenance"
+_FROMSRC = "http://example.org/prop/fromSource"
+_TRUE = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+
+_ENGINES: dict[tuple[int, str], object] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        from qendpoint_spark.encoding import predicate_index, pso_table
+        from qendpoint_spark.plans import PatternStats
+        from qendpoint_spark.sparql import SparqlEngine
+
+        enc = _enc(spark, sf_dir)
+        _ENGINES[key] = SparqlEngine(
+            enc,
+            _dict(spark, sf_dir),
+            pso=pso_table(enc),
+            stats=PatternStats(predicate_index(enc)),
+        )
+        if len(_ENGINES) > 8:
+            _ENGINES.pop(next(iter(_ENGINES)))
+    return _ENGINES[key]
+
+
+def _q(text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).query(text)
+
+    return run
+
+
+SPARQL_QUERIES = {
+    # 2-pattern BGP through the full parse->plan->decode stack
+    "sparql_select_join": _q(
+        _P
+        + "SELECT ?doc ?label WHERE { ?doc p:mentions ?ent . "
+        "?ent p:label ?label }"
+    ),
+    # numeric FILTER over a typed literal (value comparison, not term)
+    "sparql_filter_numeric": _q(
+        _P
+        + "SELECT ?doc ?nc WHERE { ?doc p:nchars ?nc . FILTER(?nc >= 500) }"
+    ),
+    # string functions over an IRI binding
+    "sparql_filter_str": _q(
+        _P
+        + "SELECT ?doc ?ent WHERE { ?doc p:mentions ?ent . "
+        'FILTER(STRSTARTS(STR(?ent), "http://example.org/ent/s")) }'
+    ),
+    # UNION with a shared object-role variable across branches
+    "sparql_union": _q(
+        _P
+        + "SELECT ?doc ?v WHERE { { ?doc p:source ?v } UNION "
+        "{ ?doc p:lang ?v } }"
+    ),
+    # OPTIONAL with a selective inner join; unmatched docs keep NULL
+    "sparql_optional": _q(
+        _P
+        + "SELECT ?doc ?ent WHERE { ?doc p:lang ?l OPTIONAL { "
+        '?doc p:mentions ?ent . ?ent p:label "scan" } }'
+    ),
+    # GROUP BY + COUNT + HAVING
+    "sparql_agg_having": _q(
+        _P
+        + "SELECT ?doc (COUNT(?ent) AS ?n) WHERE { ?doc p:mentions ?ent }"
+        " GROUP BY ?doc HAVING(?n >= 5)"
+    ),
+    # sequence path whose middle node is a blank node (SH membership)
+    "sparql_path_seq": _q(
+        _P + "SELECT ?doc ?src WHERE { ?doc p:provenance/p:fromSource ?src }"
+    ),
+    # inverse path step
+    "sparql_path_inverse": _q(
+        _P + "SELECT ?ent ?doc WHERE { ?ent ^p:mentions ?doc }"
+    ),
+    # CONSTRUCT: template instantiation back to term-level triples
+    "sparql_construct": _q(
+        _P
+        + "CONSTRUCT { ?ent <http://example.org/prop/mentionedBy> ?doc } "
+        "WHERE { ?doc p:mentions ?ent }"
+    ),
+    # ASK with a constant object term resolved through the dictionary
+    "sparql_ask": _q(_P + "ASK { ?doc p:flag true }"),
+    # VALUES inline data + BIND computed column
+    "sparql_values_bind": _q(
+        _P
+        + "SELECT ?doc ?lang ?len WHERE { ?doc p:lang ?lang . "
+        'VALUES ?lang { "en"@en "de"@de } '
+        "BIND(STRLEN(STR(?doc)) AS ?len) }"
+    ),
+    # DISTINCT + ORDER BY DESC + LIMIT (unique keys: deterministic)
+    "sparql_distinct_order_limit": _q(
+        _P
+        + "SELECT DISTINCT ?lang WHERE { ?doc p:lang ?lang } "
+        "ORDER BY DESC(?lang) LIMIT 3"
+    ),
+    # MINUS with a constant-term pattern
+    "sparql_minus": _q(
+        _P
+        + "SELECT ?doc WHERE { ?doc p:crawldate ?d MINUS "
+        "{ ?doc p:flag true } }"
+    ),
+}
+
+
+SPARQL_ORACLES = {
+    "sparql_select_join": _PRE
+    + f"""
+SELECT t1.s AS doc, t2.o AS label
+FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+WHERE t1.p = '{_MENTIONS}' AND t2.p = '{_LABEL}'
+""",
+    "sparql_filter_numeric": _PRE
+    + f"""
+SELECT s AS doc, o AS nc FROM triples
+WHERE p = '{_NCHARS}'
+  AND CAST(regexp_extract(o, '^"([^"]*)"', 1) AS DOUBLE) >= 500
+""",
+    "sparql_filter_str": _PRE
+    + f"""
+SELECT s AS doc, o AS ent FROM triples
+WHERE p = '{_MENTIONS}' AND o LIKE 'http://example.org/ent/s%'
+""",
+    "sparql_union": _PRE
+    + f"""
+SELECT s AS doc, o AS v FROM triples WHERE p = '{_SOURCE}'
+UNION ALL
+SELECT s AS doc, o AS v FROM triples WHERE p = '{_LANG}'
+""",
+    "sparql_optional": _PRE
+    + f"""
+SELECT t.s AS doc, m.ent AS ent
+FROM triples t LEFT JOIN (
+  SELECT t1.s AS d2, t1.o AS ent
+  FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+  WHERE t1.p = '{_MENTIONS}' AND t2.p = '{_LABEL}' AND t2.o = '"scan"'
+) m ON t.s = m.d2
+WHERE t.p = '{_LANG}'
+""",
+    "sparql_agg_having": _PRE
+    + f"""
+SELECT s AS doc, CAST(COUNT(o) AS BIGINT) AS n FROM triples
+WHERE p = '{_MENTIONS}' GROUP BY s HAVING COUNT(o) >= 5
+""",
+    "sparql_path_seq": _PRE
+    + f"""
+SELECT DISTINCT t1.s AS doc, t2.o AS src
+FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+WHERE t1.p = '{_PROV}' AND t2.p = '{_FROMSRC}'
+""",
+    "sparql_path_inverse": _PRE
+    + f"""
+SELECT o AS ent, s AS doc FROM triples WHERE p = '{_MENTIONS}'
+""",
+    "sparql_construct": _PRE
+    + f"""
+SELECT DISTINCT o AS s, 'http://example.org/prop/mentionedBy' AS p, s AS o
+FROM triples WHERE p = '{_MENTIONS}'
+""",
+    "sparql_ask": _PRE
+    + f"""
+SELECT EXISTS(
+  SELECT 1 FROM triples WHERE p = '{_FLAG}' AND o = '{_TRUE}'
+) AS ask
+""",
+    "sparql_values_bind": _PRE
+    + f"""
+SELECT s AS doc, o AS lang, CAST(length(s) AS INTEGER) AS len
+FROM triples
+WHERE p = '{_LANG}' AND o IN ('"en"@en', '"de"@de')
+""",
+    "sparql_distinct_order_limit": _PRE
+    + f"""
+SELECT DISTINCT o AS lang FROM triples WHERE p = '{_LANG}'
+ORDER BY o DESC LIMIT 3
+""",
+    "sparql_minus": _PRE
+    + f"""
+SELECT t.s AS doc FROM triples t
+WHERE t.p = '{_CRAWL}'
+  AND t.s NOT IN (
+    SELECT s FROM triples WHERE p = '{_FLAG}' AND o = '{_TRUE}'
+  )
+""",
+}

@@ -1,0 +1,217 @@
+"""SPARQL front-end: parser unit tests + engine semantics on a
+hand-built corpus, including the shared-section (SH) ID-space guards
+that make cross-role joins exact for arbitrary vocabularies (the case
+the extraction grammar never produces — see plans.pattern.scan_bgp)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qendpoint_spark.dictionary import build_dictionary
+from qendpoint_spark.encoding import encode_triples
+from qendpoint_spark.plans import scan_bgp
+from qendpoint_spark.sparql import SparqlEngine, parse_query
+from qendpoint_spark.sparql.parser import (
+    Aggregate,
+    PathRepeat,
+    PathSeq,
+    Term,
+    TriplePattern,
+    UnionGroup,
+    Var,
+)
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parser_bgp_shorthand_and_prefixes():
+    q = parse_query(
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?s WHERE { ?s ex:p ?o ; ex:q "lit"@en , 5 . ?o a ex:C }
+        """
+    )
+    pats = [e for e in q.where.elements if isinstance(e, TriplePattern)]
+    assert len(pats) == 4
+    assert pats[0].p == Term("http://ex/p")
+    assert pats[1].o == Term('"lit"@en')
+    assert pats[2].o.as_term() == Term(
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    )
+    assert pats[3].p == Term(
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    )
+
+
+def test_parser_paths_union_modifiers():
+    q = parse_query(
+        """
+        SELECT DISTINCT ?a (COUNT(?b) AS ?n) WHERE {
+          { ?a <http://ex/p>/<http://ex/q> ?b }
+          UNION { ?a <http://ex/r>+ ?b }
+        } GROUP BY ?a ORDER BY DESC(?n) LIMIT 7 OFFSET 2
+        """
+    )
+    assert q.distinct and q.limit == 7 and q.offset == 2
+    assert isinstance(q.projection[1], Aggregate)
+    u = q.where.elements[0]
+    assert isinstance(u, UnionGroup)
+    p1 = u.branches[0].elements[0].p
+    assert isinstance(p1, PathSeq) and len(p1.steps) == 2
+    p2 = u.branches[1].elements[0].p
+    assert isinstance(p2, PathRepeat) and p2.min_hops == 1
+
+
+def test_parser_errors():
+    with pytest.raises(SyntaxError):
+        parse_query("SELECT ?x WHERE { ?x <http://ex/p> }")
+    with pytest.raises(SyntaxError):
+        parse_query("SELECT ?x WHERE { ?x ex:p ?y }")  # undeclared prefix
+
+
+# ---------------------------------------------------------------- engine
+
+# a vocabulary engineered so subject-only and object-only IDs collide
+# numerically: SH = {A}; S-only = {S1} (sid 2); O-only = {O1} (oid 2)
+_TRIPLES = [
+    ("A", "p", "A"),
+    ("S1", "p", "O1"),
+    ("S1", "q", "O1"),
+]
+
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    tri = spark.createDataFrame(_TRIPLES, "s string, p string, o string")
+    d = build_dictionary(tri).cache()
+    enc = encode_triples(tri, d).cache()
+    return tri, d, enc
+
+
+def test_sh_guard_blocks_id_collision(spark, mini):
+    """?x p ?y . ?y q ?z — ?y joins object-role against subject-role.
+    No term is both an object of p and a subject of q except... none:
+    objects(p) = {A, O1}, subjects(q) = {S1}; A is not a q-subject.
+    Yet O1's object id == S1's subject id (both 2): without the SH
+    guard the join fabricates a solution."""
+    tri, d, enc = mini
+    from qendpoint_spark.encoding import ops_table, spo_table
+
+    pid = {r["term"]: r["id"] for r in d.filter(F.col("section") == "P").collect()}
+    spo, ops = spo_table(enc), ops_table(enc)
+    n_sh = d.filter(F.col("section") == "SH").count()
+    assert n_sh == 1
+    pats = [("x", pid["p"], "y"), ("y", pid["q"], "z")]
+    unguarded = scan_bgp(spo, ops, pats)
+    assert unguarded.count() == 1  # the documented hazard
+    guarded = scan_bgp(spo, ops, pats, n_shared=n_sh)
+    assert guarded.count() == 0  # exact
+
+
+@pytest.fixture(scope="module")
+def engine(spark, mini):
+    tri, d, enc = mini
+    return SparqlEngine(enc, d)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_engine_bgp_guard(engine):
+    out = engine.query(
+        "SELECT ?x ?z WHERE { ?x <p> ?y . ?y <q> ?z }"
+    )
+    assert _rows(out) == []
+
+
+def test_engine_select_and_filter(engine):
+    out = engine.query(
+        'SELECT ?s ?o WHERE { ?s <q> ?o . FILTER(STR(?s) = "S1") }'
+    )
+    assert _rows(out) == [("S1", "O1")]
+
+
+def test_engine_optional_bound(engine):
+    out = engine.query(
+        "SELECT ?s ?z WHERE { ?s <p> ?o OPTIONAL { ?s <q> ?z } }"
+    )
+    rows = _rows(out)
+    assert ("A", None) in rows and ("S1", "O1") in rows
+
+
+def test_engine_union_cross_role_decodes_terms(engine):
+    """?v binds object-role in one branch, subject-role in the other;
+    the union must reconcile through term strings, not raw ids (O1 and
+    S1 share id 2 — an id-level union would conflate them)."""
+    out = engine.query(
+        "SELECT ?v WHERE { { ?x <p> ?v } UNION { ?v <q> ?y } }"
+    )
+    assert _rows(out) == [("A",), ("O1",), ("S1",)]
+
+
+def test_engine_ask_construct(engine):
+    assert engine.query("ASK { <S1> <q> <O1> }").collect()[0][0] is True
+    assert engine.query("ASK { <A> <q> <O1> }").collect()[0][0] is False
+    out = engine.query(
+        "CONSTRUCT { ?o <inv_p> ?s } WHERE { ?s <p> ?o }"
+    )
+    assert ("A", "inv_p", "A") in _rows(out)
+
+
+@pytest.fixture(scope="module")
+def chain_engine(spark):
+    """d1 -m-> e, d2 -m-> e, plus an ent chain e1 -n-> e2 -n-> e3 where
+    every ei is SH (appears as both subject and object somewhere)."""
+    rows = [
+        ("d1", "m", "e"),
+        ("d2", "m", "e"),
+        ("e1", "n", "e2"),
+        ("e2", "n", "e3"),
+        ("e3", "t", "e1"),  # closes SH membership for e1/e3
+    ]
+    tri = spark.createDataFrame(rows, "s string, p string, o string")
+    d = build_dictionary(tri).cache()
+    return SparqlEngine(encode_triples(tri, d).cache(), d)
+
+
+def test_engine_seq_inverse_path_no_overclamp(chain_engine):
+    """`m/^m` joins object-role ids on BOTH sides of the middle join —
+    the SH clamp must NOT apply (e is O-only here, id > n_shared), so
+    docs sharing a mention pair up."""
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a <m>/^<m> ?b }")
+    assert _rows(out) == [
+        ("d1", "d1"), ("d1", "d2"), ("d2", "d1"), ("d2", "d2")
+    ]
+
+
+def test_engine_plus_and_star_paths(chain_engine):
+    plus = chain_engine.query("SELECT ?a ?b WHERE { ?a <n>+ ?b }")
+    assert _rows(plus) == [
+        ("e1", "e2"), ("e1", "e3"), ("e2", "e3")
+    ]
+    star = chain_engine.query("SELECT ?a ?b WHERE { ?a <n>* ?b }")
+    assert set(_rows(star)) == {
+        ("e1", "e2"), ("e1", "e3"), ("e2", "e3"),
+        ("e1", "e1"), ("e2", "e2"), ("e3", "e3"),
+    }
+
+
+def test_engine_agg_group_having(chain_engine):
+    out = chain_engine.query(
+        "SELECT ?o (COUNT(?s) AS ?c) WHERE { ?s <m> ?o } "
+        "GROUP BY ?o HAVING(?c >= 2)"
+    )
+    assert _rows(out) == [("e", 2)]
+
+
+def test_engine_values_and_minus(chain_engine):
+    out = chain_engine.query(
+        "SELECT ?s WHERE { ?s <m> ?o . VALUES ?s { <d1> } }"
+    )
+    assert _rows(out) == [("d1",)]
+    out = chain_engine.query(
+        "SELECT ?s ?o WHERE { ?s <n> ?o MINUS { ?s <n> <e3> } }"
+    )
+    assert _rows(out) == [("e1", "e2")]
