@@ -54,6 +54,7 @@ from qendpoint_spark.sparql.parser import (
     Aggregate,
     BinOp,
     BindClause,
+    ExistsExpr,
     FilterClause,
     FuncCall,
     GroupGraphPattern,
@@ -295,10 +296,31 @@ class SparqlEngine:
         for vc in values:
             acc = self._join(acc, self._values_frame(vc, acc), "inner")
         for expr in filters:
+            if isinstance(expr, ExistsExpr):
+                acc = self._apply_exists(
+                    acc, self._compile_group(expr.group), expr.negated
+                )
+                continue
             col, _ = self._expr(expr, acc)
             acc.df = acc.df.filter(col.cast("boolean"))
         acc.df = _drop_aux(acc.df)
         return acc
+
+    def _apply_exists(
+        self, acc: _BFrame, sub: _BFrame, negated: bool
+    ) -> _BFrame:
+        """FILTER [NOT] EXISTS as a semi/anti join on the shared
+        variables (exact for BGP-shaped subgroups — the correlated
+        evaluation the SPARQL spec describes reduces to this join).
+        With no shared variable the subgroup's truth is global: keep
+        everything or nothing — NOT the MINUS no-shared-vars rule,
+        which is exactly how the two operators differ."""
+        on = set(acc.kinds) & set(sub.kinds)
+        if not on:
+            if negated == _is_true(sub):
+                return _BFrame(acc.df.limit(0), acc.kinds)
+            return acc
+        return self._join(acc, sub, "left_anti" if negated else "left_semi")
 
     def _union(self, branches: list[_BFrame]) -> _BFrame:
         """UNION: concatenate solution sets, padding absent variables
@@ -523,7 +545,7 @@ class SparqlEngine:
         roles_b = {v: k for v, k in b.kinds.items() if k in _ID_KINDS}
         df = join_bindings(a.df, b.df, how, roles_a, roles_b, self.n_shared)
         df = _drop_aux(df)
-        if how == "left_anti":
+        if how in ("left_anti", "left_semi"):
             return _BFrame(df, dict(a.kinds))
         kinds = dict(a.kinds)
         for v, kb in b.kinds.items():
@@ -687,6 +709,21 @@ class SparqlEngine:
             return F.lower(arg(0, "str")), "str"
         if name == "ABS":
             return F.abs(arg(0, "num")), "num"
+        if name in ("ISIRI", "ISURI"):
+            c, t = arg(0)
+            return (
+                ~c.startswith('"') & ~c.startswith("_:") & c.isNotNull()
+            ), "bool"
+        if name == "ISLITERAL":
+            c, t = arg(0)
+            return c.startswith('"'), "bool"
+        if name == "ISBLANK":
+            c, t = arg(0)
+            return c.startswith("_:"), "bool"
+        if name == "SAMETERM":
+            a0, t0 = arg(0)
+            a1, t1 = arg(1)
+            return a0 == a1, "bool"
         if name == "COALESCE":
             cols = [self._expr(a, bf)[0] for a in node.args]
             return F.coalesce(*cols), "val"

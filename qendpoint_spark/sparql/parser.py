@@ -169,6 +169,15 @@ class Aggregate:
     alias: str
 
 
+@dataclass
+class ExistsExpr:
+    """FILTER [NOT] EXISTS { ... } — evaluated as a semi/anti join,
+    so it may appear only as a top-level filter condition."""
+
+    group: "GroupGraphPattern"
+    negated: bool
+
+
 # query ------------------------------------------------------------------
 
 
@@ -234,6 +243,7 @@ _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 _EXPR_FUNCS = {
     "STR", "LANG", "DATATYPE", "BOUND", "REGEX", "STRSTARTS", "STRENDS",
     "CONTAINS", "STRLEN", "UCASE", "LCASE", "ABS", "COALESCE", "IF",
+    "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM",
 }
 
 
@@ -759,6 +769,13 @@ class _Parser:
             if kw in ("TRUE", "FALSE"):
                 self.next()
                 return Term(f'"{t.text.lower()}"^^<{XSD}boolean>')
+            if kw == "EXISTS":
+                self.next()
+                return ExistsExpr(self.parse_ggp(), False)
+            if kw == "NOT":
+                self.next()
+                self.eat_kw("EXISTS")
+                return ExistsExpr(self.parse_ggp(), True)
             if kw in _EXPR_FUNCS:
                 self.next()
                 self.eat_op("(")

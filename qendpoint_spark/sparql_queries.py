@@ -137,6 +137,24 @@ SPARQL_QUERIES = {
         + "SELECT ?doc WHERE { ?doc p:crawldate ?d MINUS "
         "{ ?doc p:flag true } }"
     ),
+    # FILTER EXISTS -> semi join on the shared variable
+    "sparql_exists": _q(
+        _P
+        + "SELECT ?doc WHERE { ?doc p:crawldate ?d . "
+        'FILTER EXISTS { ?doc p:mentions ?e . ?e p:label "scan" } }'
+    ),
+    # FILTER NOT EXISTS -> anti join (vs MINUS: differs on disjoint
+    # groups; here shared-var so both would agree — the operator is
+    # still exercised end to end through the parser)
+    "sparql_not_exists": _q(
+        _P
+        + "SELECT ?doc WHERE { ?doc p:crawldate ?d . "
+        'FILTER NOT EXISTS { ?doc p:mentions ?e . ?e p:label "scan" } }'
+    ),
+    # variable predicate + term-test function over the full scan
+    "sparql_isblank": _q(
+        "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isBlank(?o)) }"
+    ),
 }
 
 
@@ -218,5 +236,29 @@ WHERE t.p = '{_CRAWL}'
   AND t.s NOT IN (
     SELECT s FROM triples WHERE p = '{_FLAG}' AND o = '{_TRUE}'
   )
+""",
+    "sparql_exists": _PRE
+    + f"""
+SELECT t.s AS doc FROM triples t
+WHERE t.p = '{_CRAWL}'
+  AND EXISTS (
+    SELECT 1 FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+    WHERE t1.p = '{_MENTIONS}' AND t2.p = '{_LABEL}'
+      AND t2.o = '"scan"' AND t1.s = t.s
+  )
+""",
+    "sparql_not_exists": _PRE
+    + f"""
+SELECT t.s AS doc FROM triples t
+WHERE t.p = '{_CRAWL}'
+  AND NOT EXISTS (
+    SELECT 1 FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+    WHERE t1.p = '{_MENTIONS}' AND t2.p = '{_LABEL}'
+      AND t2.o = '"scan"' AND t1.s = t.s
+  )
+""",
+    "sparql_isblank": _PRE
+    + """
+SELECT s, o FROM triples WHERE o LIKE '_:%'
 """,
 }

@@ -215,3 +215,35 @@ def test_engine_values_and_minus(chain_engine):
         "SELECT ?s ?o WHERE { ?s <n> ?o MINUS { ?s <n> <e3> } }"
     )
     assert _rows(out) == [("e1", "e2")]
+
+
+def test_engine_exists_not_exists(chain_engine):
+    out = chain_engine.query(
+        "SELECT ?s WHERE { ?s <n> ?o . FILTER EXISTS { ?s <t> ?x } }"
+    )
+    assert _rows(out) == []  # only e3 has a t-edge, e3 has no n-edge
+    out = chain_engine.query(
+        "SELECT ?s WHERE { ?s <n> ?o . FILTER NOT EXISTS { ?o <n> ?x } }"
+    )
+    assert _rows(out) == [("e2",)]  # e2->e3 survives: e3 has no n-out
+    # disjoint NOT EXISTS: globally true subgroup empties the result
+    # (where MINUS would keep everything — the spec's distinction)
+    out = chain_engine.query(
+        "SELECT ?s WHERE { ?s <n> ?o . FILTER NOT EXISTS { ?a <m> ?b } }"
+    )
+    assert _rows(out) == []
+    out = chain_engine.query(
+        "SELECT ?s ?o WHERE { ?s <n> ?o MINUS { ?a <m> ?b } }"
+    )
+    assert len(_rows(out)) == 2
+
+
+def test_engine_term_tests(chain_engine):
+    out = chain_engine.query(
+        "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isIRI(?o)) }"
+    )
+    assert len(_rows(out)) == 5  # every object here is an IRI
+    out = chain_engine.query(
+        "SELECT ?s WHERE { ?s ?pr ?o . FILTER(isLiteral(?o)) }"
+    )
+    assert _rows(out) == []
