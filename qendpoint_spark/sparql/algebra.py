@@ -135,6 +135,29 @@ class SparqlEngine:
         self._maps: dict[str, DataFrame] = {}
         self._consts: dict[tuple[str, str], int] = {}
 
+    @classmethod
+    def from_catalog(cls, catalog) -> "SparqlEngine":
+        """Build an engine over a published pipeline warehouse — the
+        analog of pointing the reference's `hdtsparql` CLI at an .hdt
+        file (qendpoint-cli/bin/hdtsparql.sh). Uses every access path
+        the pipeline materialized: SPO/OPS always, PSO and the
+        predicate-stats table when present."""
+        import os
+
+        pso = None
+        if os.path.exists(catalog.table_path("triples_pso")):
+            pso = catalog.read("triples_pso")
+        stats = None
+        if os.path.exists(catalog.table_path("predicate_index")):
+            stats = PatternStats(catalog.read("predicate_index"))
+        return cls(
+            dict_terms=catalog.read("dict_terms"),
+            spo=catalog.read("triples_spo"),
+            ops=catalog.read("triples_ops"),
+            pso=pso,
+            stats=stats,
+        )
+
     # -- dictionary access ----------------------------------------------
 
     @property

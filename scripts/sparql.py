@@ -1,0 +1,54 @@
+"""SPARQL CLI over a published warehouse — the reference's `hdtsparql`
+(qendpoint-cli/bin/hdtsparql.sh: run one SPARQL query against an .hdt
+file and print bindings).
+
+Usage:
+    python scripts/sparql.py <warehouse_dir> <query | @query_file | ->
+        [--show N]
+
+The query may be given inline, as @path to a .rq file, or `-` for
+stdin. SELECT/CONSTRUCT results print as TSV (header first); ASK
+prints true/false.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from qendpoint_spark.catalog import Catalog  # noqa: E402
+from qendpoint_spark.session import get_spark  # noqa: E402
+from qendpoint_spark.sparql import SparqlEngine  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
+    warehouse, qarg = sys.argv[1], sys.argv[2]
+    show = 0
+    if "--show" in sys.argv:
+        show = int(sys.argv[sys.argv.index("--show") + 1])
+    if qarg == "-":
+        text = sys.stdin.read()
+    elif qarg.startswith("@"):
+        text = Path(qarg[1:]).read_text()
+    else:
+        text = qarg
+
+    spark = get_spark("qendpoint-sparql")
+    engine = SparqlEngine.from_catalog(Catalog(spark, warehouse))
+    df = engine.query(text)
+    rows = df.take(show) if show else df.collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join("" if v is None else str(v) for v in r))
+    if show:
+        print(f"# showing up to {show} rows", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -238,6 +238,45 @@ def test_engine_exists_not_exists(chain_engine):
     assert len(_rows(out)) == 2
 
 
+def test_engine_from_catalog(spark, tmp_path):
+    """hdtsparql-style flow: publish a warehouse with the pipeline,
+    point the engine at it, query through the materialized access
+    paths (PSO routing + stats-driven BGP order included)."""
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import run_pipeline
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+    )
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(
+        spark, catalog, source_df=docs, source_kind="documents",
+        source_fingerprint="sparql-cat-test", num_partitions=4,
+        with_pso=True,
+    )
+    eng = SparqlEngine.from_catalog(catalog)
+    assert eng.stats is not None and eng.pso is not None
+    out = eng.query(
+        "PREFIX p: <http://example.org/prop/>\n"
+        "SELECT ?doc (COUNT(?e) AS ?n) WHERE { ?doc p:mentions ?e } "
+        "GROUP BY ?doc"
+    )
+    got = {r["doc"]: r["n"] for r in out.collect()}
+    assert len(got) > 0
+    # independent recompute from the raw corpus
+    from qendpoint_spark.extraction import extract_triples_from_documents
+
+    tri = extract_triples_from_documents(docs)
+    exp = {
+        r["s"]: r["n"]
+        for r in tri.filter(
+            F.col("p") == "http://example.org/prop/mentions"
+        ).groupBy("s").agg(F.count("o").alias("n")).collect()
+    }
+    assert got == exp
+
+
 def test_engine_term_tests(chain_engine):
     out = chain_engine.query(
         "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isIRI(?o)) }"
