@@ -105,13 +105,20 @@ def run_pipeline(
     fp0 = _fingerprint(source_kind, source_fingerprint)
 
     # S1 extract ----------------------------------------------------------
+    # source_kind="triples": source_df already IS triples_str(s,p,o) —
+    # the rdf2hdt path, where parsing (sources.read_rdf_source) replaces
+    # extraction and the rest of the pipeline is unchanged.
     res = None if force else _resume(catalog, "triples_str", fp0)
     if res is None:
-        extractor = (
-            extract_triples_from_documents
-            if source_kind == "documents"
-            else extract_triples_from_pages
-        )
+        if source_kind == "triples":
+            # parsed RDF may repeat statements (HDT stores a set; the
+            # reference dedups in its triple sort) — unlike extraction,
+            # which emits distinct by construction
+            extractor = lambda df: df.dropDuplicates(["s", "p", "o"])  # noqa: E731
+        elif source_kind == "documents":
+            extractor = extract_triples_from_documents
+        else:
+            extractor = extract_triples_from_pages
         res = catalog.write_stage(
             "triples_str", extractor(source_df), fp0, force=force
         )
