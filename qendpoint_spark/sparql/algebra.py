@@ -68,6 +68,7 @@ from qendpoint_spark.sparql.parser import (
     PathSeq,
     Query,
     StrLit,
+    SubSelect,
     Term,
     TriplePattern,
     UnaryOp,
@@ -309,6 +310,10 @@ class SparqlEngine:
                 col, _ = self._expr(el.expr, acc)
                 acc.df = acc.df.withColumn(el.var.name, col)
                 acc.kinds[el.var.name] = "val"
+            elif isinstance(el, SubSelect):
+                flush()
+                sub = self._subframe(el.query)
+                acc = sub if acc is None else self._join(acc, sub, "inner")
             elif isinstance(el, ValuesClause):
                 values.append(el)
             else:
@@ -801,11 +806,53 @@ class SparqlEngine:
             df = df.limit(q.limit)
         return df.select(*out_cols)
 
+    def _subframe(self, q: Query) -> _BFrame:
+        """Nested `{ SELECT ... }`: evaluated like a top-level SELECT
+        but kept in the binding representation (ids stay ids) so the
+        outer group joins it like any other operand — Catalyst then
+        plans the whole composed query as one tree."""
+        bf = self._compile_group(q.where)
+        aggs = [p for p in q.projection if isinstance(p, Aggregate)]
+        if aggs or q.group_by:
+            bf = self._aggregate(bf, q)
+        names = [
+            p.name if isinstance(p, Var) else p.alias for p in q.projection
+        ] or list(bf.kinds)
+        sort_cols: list[tuple[str, bool]] = []
+        for i, (expr, asc) in enumerate(q.order_by):
+            col, _ = self._expr(expr, bf)
+            n = f"__ob_{i}"
+            bf.df = bf.df.withColumn(n, col)
+            sort_cols.append((n, asc))
+        df = bf.df
+        if q.distinct:
+            df = df.dropDuplicates(names + [n for n, _ in sort_cols])
+        if sort_cols:
+            df = df.sort(
+                *[
+                    F.col(n).asc() if asc else F.col(n).desc()
+                    for n, asc in sort_cols
+                ]
+            )
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return _BFrame(df.select(*names), {v: bf.kinds[v] for v in names})
+
     def _aggregate(self, bf: _BFrame, q: Query) -> _BFrame:
         group_vars = [v.name for v in q.group_by]
         aggs = [p for p in q.projection if isinstance(p, Aggregate)]
-        exprs = []
+        # materialize every decode column BEFORE building agg
+        # expressions: _lex joins mutate bf.df, and an expression built
+        # against an earlier frame must not be used in a later one
         for a in aggs:
+            if a.arg != "*" and a.func != "COUNT" and a.arg.name in bf.kinds:
+                self._lex(bf, a.arg.name)
+        exprs = []
+        agg_kinds: dict[str, str] = {}
+        for a in aggs:
+            agg_kinds[a.alias] = "val"
             if a.arg == "*":
                 col = F.count(F.lit(1))
             else:
@@ -818,6 +865,22 @@ class SparqlEngine:
                         if a.distinct
                         else F.count(bf.df[v])
                     )
+                elif a.func == "SAMPLE":
+                    # SAMPLE may return any binding; min of the lexical
+                    # form is a valid choice and deterministic (so the
+                    # oracle can reproduce it)
+                    col = F.min(self._lex(bf, v))
+                    agg_kinds[a.alias] = "term"
+                elif a.func == "GROUP_CONCAT":
+                    lex = self._lex(bf, v)
+                    vals = (
+                        F.collect_set(lex) if a.distinct
+                        else F.collect_list(lex)
+                    )
+                    # sorted for determinism (SPARQL leaves the order
+                    # unspecified; a fixed order makes results stable
+                    # across partitionings AND engines)
+                    col = F.concat_ws(a.sep, F.sort_array(vals))
                 else:
                     num = _as_num(
                         self._lex(bf, v),
@@ -836,7 +899,7 @@ class SparqlEngine:
         else:
             gdf = bf.df.agg(*exprs)
         kinds = {v: bf.kinds[v] for v in group_vars}
-        kinds.update({a.alias: "val" for a in aggs})
+        kinds.update(agg_kinds)
         out = _BFrame(gdf, kinds)
         if q.having is not None:
             col, _ = self._expr(q.having, out)

@@ -163,10 +163,18 @@ class StrLit:
 
 @dataclass(frozen=True)
 class Aggregate:
-    func: str  # COUNT SUM AVG MIN MAX
+    func: str  # COUNT SUM AVG MIN MAX SAMPLE GROUP_CONCAT
     arg: object  # Var | '*'
     distinct: bool
     alias: str
+    sep: str = " "  # GROUP_CONCAT separator (SPARQL default)
+
+
+@dataclass
+class SubSelect:
+    """A nested `{ SELECT ... }` group element."""
+
+    query: "Query"
 
 
 @dataclass
@@ -239,7 +247,7 @@ def tokenize(text: str) -> list[Tok]:
 
 # ---------------------------------------------------------------- parser
 
-_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 _EXPR_FUNCS = {
     "STR", "LANG", "DATATYPE", "BOUND", "REGEX", "STRSTARTS", "STRENDS",
     "CONTAINS", "STRLEN", "UCASE", "LCASE", "ABS", "COALESCE", "IF",
@@ -360,7 +368,7 @@ class _Parser:
             self.err("expected variable after AS")
         alias = self.next().text[1:]
         self.eat_op(")")
-        return Aggregate(agg.func, agg.arg, agg.distinct, alias)
+        return Aggregate(agg.func, agg.arg, agg.distinct, alias, agg.sep)
 
     def parse_aggregate(self) -> Aggregate:
         func = self.next().text.upper()
@@ -376,8 +384,16 @@ class _Parser:
             arg = Var(self.next().text[1:])
         else:
             self.err("aggregate argument must be a variable or *")
+        sep = " "
+        if self.at_op(";"):  # GROUP_CONCAT(?x; SEPARATOR="...")
+            self.next()
+            self.eat_kw("SEPARATOR")
+            self.eat_op("=")
+            if self.peek().kind != "STRING":
+                self.err("SEPARATOR needs a string literal")
+            sep = _unescape(self.next().text[1:-1])
         self.eat_op(")")
-        return Aggregate(func, arg, distinct, "")
+        return Aggregate(func, arg, distinct, "", sep)
 
     def parse_ask(self) -> Query:
         self.eat_kw("ASK")
@@ -475,6 +491,15 @@ class _Parser:
                 g.elements.append(BindClause(e, v))
             elif self.at_kw("VALUES"):
                 g.elements.append(self.parse_values())
+            elif (
+                self.at_op("{")
+                and self.toks[self.i + 1].kind == "KEYWORD"
+                and self.toks[self.i + 1].text.upper() == "SELECT"
+            ):
+                self.next()
+                sub = self.parse_select()
+                self.eat_op("}")
+                g.elements.append(SubSelect(sub))
             elif self.at_op("{"):
                 branches = [self.parse_ggp()]
                 while self.at_kw("UNION"):

@@ -155,6 +155,25 @@ SPARQL_QUERIES = {
     "sparql_isblank": _q(
         "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isBlank(?o)) }"
     ),
+    # nested { SELECT } joined with the outer group
+    "sparql_subquery": _q(
+        _P
+        + "SELECT ?doc ?l ?n WHERE { ?doc p:lang ?l . "
+        "{ SELECT ?doc (COUNT(?e) AS ?n) WHERE { ?doc p:mentions ?e } "
+        "GROUP BY ?doc } }"
+    ),
+    # GROUP_CONCAT with explicit separator (sorted-deterministic)
+    "sparql_group_concat": _q(
+        _P
+        + 'SELECT ?doc (GROUP_CONCAT(?label; SEPARATOR="|") AS ?ls) '
+        "WHERE { ?doc p:mentions ?e . ?e p:label ?label } GROUP BY ?doc"
+    ),
+    # SAMPLE (deterministic min-of-lexical choice)
+    "sparql_sample": _q(
+        _P
+        + "SELECT ?l (SAMPLE(?doc) AS ?d0) WHERE { ?doc p:lang ?l } "
+        "GROUP BY ?l"
+    ),
 }
 
 
@@ -260,5 +279,25 @@ WHERE t.p = '{_CRAWL}'
     "sparql_isblank": _PRE
     + """
 SELECT s, o FROM triples WHERE o LIKE '_:%'
+""",
+    "sparql_subquery": _PRE
+    + f"""
+SELECT t.s AS doc, t.o AS l, m.n AS n
+FROM triples t JOIN (
+  SELECT s, CAST(COUNT(o) AS BIGINT) AS n FROM triples
+  WHERE p = '{_MENTIONS}' GROUP BY s
+) m ON t.s = m.s
+WHERE t.p = '{_LANG}'
+""",
+    "sparql_group_concat": _PRE
+    + f"""
+SELECT t1.s AS doc, string_agg(t2.o, '|' ORDER BY t2.o) AS ls
+FROM triples t1 JOIN triples t2 ON t1.o = t2.s
+WHERE t1.p = '{_MENTIONS}' AND t2.p = '{_LABEL}'
+GROUP BY t1.s
+""",
+    "sparql_sample": _PRE
+    + f"""
+SELECT o AS l, min(s) AS d0 FROM triples WHERE p = '{_LANG}' GROUP BY o
 """,
 }

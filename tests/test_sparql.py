@@ -277,6 +277,23 @@ def test_engine_from_catalog(spark, tmp_path):
     assert got == exp
 
 
+def test_engine_subquery_and_new_aggs(chain_engine):
+    out = chain_engine.query(
+        "SELECT ?o ?n WHERE { ?s <m> ?o . "
+        "{ SELECT ?o (COUNT(?x) AS ?n) WHERE { ?x <m> ?o } GROUP BY ?o } }"
+    )
+    assert _rows(out) == [("e", 2), ("e", 2)]  # one row per outer match
+    out = chain_engine.query(
+        'SELECT ?o (GROUP_CONCAT(?s; SEPARATOR=",") AS ?ss) '
+        "WHERE { ?s <m> ?o } GROUP BY ?o"
+    )
+    assert _rows(out) == [("e", "d1,d2")]
+    out = chain_engine.query(
+        "SELECT ?o (SAMPLE(?s) AS ?s0) WHERE { ?s <m> ?o } GROUP BY ?o"
+    )
+    assert _rows(out) == [("e", "d1")]
+
+
 def test_engine_term_tests(chain_engine):
     out = chain_engine.query(
         "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isIRI(?o)) }"
