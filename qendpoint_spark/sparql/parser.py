@@ -832,9 +832,13 @@ def _unescape(s: str) -> str:
                 i += 2
                 continue
             if nxt == "u" and i + 6 <= len(s):
-                out.append(chr(int(s[i + 2:i + 6], 16)))
-                i += 6
-                continue
+                hexpart = s[i + 2:i + 6]
+                if all(c in "0123456789abcdefABCDEF" for c in hexpart):
+                    out.append(chr(int(hexpart, 16)))
+                    i += 6
+                    continue
+                # malformed numeric escape: pass through (same leniency
+                # as sources.ntriples._unescape_one)
         out.append(c)
         i += 1
     return "".join(out)

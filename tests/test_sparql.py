@@ -70,6 +70,38 @@ def test_parser_errors():
         parse_query("SELECT ?x WHERE { ?x ex:p ?y }")  # undeclared prefix
 
 
+def test_parser_comments_escapes_negatives():
+    q = parse_query(
+        """
+        # leading comment
+        SELECT ?x WHERE {
+          ?x <http://ex/p> "a\\tb\\u0041" .   # inline comment
+          FILTER(?x > -5)
+        }
+        """
+    )
+    pats = [e for e in q.where.elements if isinstance(e, TriplePattern)]
+    assert pats[0].o == Term('"a\tbA"')
+    # malformed \u escape passes through instead of raising
+    q2 = parse_query('ASK { ?x <http://ex/p> "bad\\uZZZZ" }')
+    assert q2.where.elements[0].o == Term('"bad\\uZZZZ"')
+
+
+def test_parser_fuzz_no_unexpected_exceptions():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def run(s):
+        try:
+            parse_query(s)
+        except (SyntaxError, NotImplementedError):
+            pass  # the two documented failure modes
+
+    run()
+
+
 # ---------------------------------------------------------------- engine
 
 # a vocabulary engineered so subject-only and object-only IDs collide
