@@ -169,11 +169,11 @@ def q_kg_datatype_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quad mode: per-document metadata triples in per-source named
-    graphs -> G-section dictionary + (s,p,o,g) encode."""
-    docs = _docs(spark, sf_dir)
-    base = docs.select(
+def quad_triples_str(docs: DataFrame) -> DataFrame:
+    """The quad grammar: per-document metadata triples in per-source
+    named graphs — shared by the quad encode row and the SPARQL GRAPH
+    rows (and mirrored by the string-level quads CTE in the oracles)."""
+    return docs.select(
         F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string")).alias("s"),
         F.lit("http://example.org/prop/lang").alias("p"),
         F.concat(F.lit('"'), F.col("lang"), F.lit('"@'), F.col("lang")).alias("o"),
@@ -186,6 +186,12 @@ def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("http://example.org/graph/"), F.col("source")).alias("g"),
         )
     )
+
+
+def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad mode: per-document metadata triples in per-source named
+    graphs -> G-section dictionary + (s,p,o,g) encode."""
+    base = quad_triples_str(_docs(spark, sf_dir))
     qdict = build_dictionary(base).localCheckpoint(eager=True)
     return encode_triples(base, qdict)
 

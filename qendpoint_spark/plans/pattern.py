@@ -314,11 +314,11 @@ def join_bindings(
             lr, rr = left_roles.get(v), right_roles.get(v)
             if lr is None or rr is None:
                 continue
-            if ("p" in (lr, rr)) and lr != rr:
+            if lr != rr and not ({lr, rr} <= {"s", "o", "so"}):
                 raise NotImplementedError(
-                    f"variable ?{v} joins predicate role against "
-                    "subject/object role across groups — predicate IDs "
-                    "are a separate namespace"
+                    f"variable ?{v} joins role {lr!r} against {rr!r} "
+                    "across groups — predicate/graph IDs are separate "
+                    "namespaces"
                 )
             if n_shared is not None and (lr != rr or "so" in (lr, rr)):
                 guard_vars.add(v)

@@ -11,14 +11,15 @@ materialize only where a FILTER / BIND / projection needs a value
 (late materialization, the reference's ID->Value bridging).
 
 Supported subset (documented, raising loudly outside it):
-  SELECT / ASK / CONSTRUCT; BGPs with `;`/`,`/`a`; property paths
-  `/ | ^ + * {1,n}`; OPTIONAL / MINUS / UNION / VALUES / BIND / FILTER
-  (comparisons, && || !, arithmetic, REGEX/STR/LANG/DATATYPE/BOUND/
-  STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/LCASE/ABS/COALESCE/IF);
-  GROUP BY + COUNT/SUM/AVG/MIN/MAX + HAVING; DISTINCT; ORDER BY;
-  LIMIT/OFFSET. Not supported: SERVICE, subqueries, EXISTS filters,
-  named graphs in the query (GRAPH), UNDEF in VALUES, aggregate
-  expressions over computed args.
+  SELECT / ASK / CONSTRUCT / DESCRIBE; BGPs with `;`/`,`/`a`; property
+  paths `/ | ^ + * {1,n}`; OPTIONAL / MINUS / UNION / VALUES / BIND /
+  subqueries (`{ SELECT ... }`) / GRAPH (over a quads table) / FILTER
+  (comparisons, && || !, arithmetic, [NOT] EXISTS, REGEX/STR/LANG/
+  DATATYPE/BOUND/STRSTARTS/STRENDS/CONTAINS/STRLEN/UCASE/LCASE/ABS/
+  COALESCE/IF/isIRI/isLiteral/isBlank/sameTerm); GROUP BY + COUNT/SUM/
+  AVG/MIN/MAX/SAMPLE/GROUP_CONCAT + HAVING; DISTINCT; ORDER BY;
+  LIMIT/OFFSET. Not supported: SERVICE, UNDEF in VALUES, aggregate
+  expressions over computed args, paths/nested groups inside GRAPH.
 
 ID-space correctness: a variable joining subject- against object-role
 bindings is clamped to the shared section (id <= n_shared) — see
@@ -57,6 +58,7 @@ from qendpoint_spark.sparql.parser import (
     ExistsExpr,
     FilterClause,
     FuncCall,
+    GraphGroup,
     GroupGraphPattern,
     MinusGroup,
     NumLit,
@@ -79,10 +81,10 @@ from qendpoint_spark.sparql.parser import (
 )
 
 #: binding-column kinds: which ID space (or value form) a variable's
-#: column holds. 's'/'o'/'p' = that role's dictionary id; 'so' =
+#: column holds. 's'/'o'/'p'/'g' = that role's dictionary id; 'so' =
 #: joined across subject/object roles (known SH); 'term' = lexical
 #: term string; 'val' = computed plain value (BIND / aggregate).
-_ID_KINDS = ("s", "o", "p", "so")
+_ID_KINDS = ("s", "o", "p", "so", "g")
 
 # extracts the lexical value of a literal: group 1 of `"<value>"` with
 # an optional @lang / ^^<dt> suffix; (?s) so embedded newlines match
@@ -117,6 +119,7 @@ class SparqlEngine:
         ops: DataFrame | None = None,
         pso: DataFrame | None = None,
         stats: PatternStats | None = None,
+        quads: DataFrame | None = None,
     ):
         if dict_terms is None:
             raise ValueError("SparqlEngine requires dict_terms")
@@ -131,6 +134,7 @@ class SparqlEngine:
         self.ops = ops
         self.pso = pso
         self.stats = stats
+        self.quads = quads  # encoded (s,p,o,g) for GRAPH patterns
         self.dict_terms = dict_terms
         self._n_shared: int | None = None
         self._maps: dict[str, DataFrame] = {}
@@ -186,6 +190,12 @@ class SparqlEngine:
                 m = predicate_map(self.dict_terms).select(
                     "term", F.col("pid").alias("id")
                 )
+            elif role == "g":
+                from qendpoint_spark.dictionary.builder import graph_map
+
+                m = graph_map(self.dict_terms).select(
+                    "term", F.col("gid").alias("id")
+                )
             else:
                 raise ValueError(f"no dictionary map for kind {kind!r}")
             self._maps[role] = m
@@ -226,6 +236,12 @@ class SparqlEngine:
 
     def execute(self, q: Query) -> DataFrame:
         self._prefetch_consts(_collect_consts(q))
+        if q.from_graphs or q.from_named:
+            return self._scoped_engine(q).execute(
+                _strip_dataset(q)
+            )
+        if q.form == "DESCRIBE":
+            return self._describe(q)
         bf = self._compile_group(q.where)
         if q.form == "ASK":
             spark = self.spo.sparkSession
@@ -233,6 +249,82 @@ class SparqlEngine:
         if q.form == "CONSTRUCT":
             return self._construct(bf, q)
         return self._select(bf, q)
+
+    def _scoped_engine(self, q: Query) -> "SparqlEngine":
+        """Dataset clauses (FROM / FROM NAMED): a shallow engine copy
+        whose default graph is the union of the FROM graphs' triples
+        and whose GRAPH patterns range only over the FROM NAMED set —
+        the SPARQL 1.1 dataset construction, done as quad-table
+        filters (gid IN (...) pushes to the scan)."""
+        import copy
+
+        if self.quads is None:
+            raise NotImplementedError(
+                "FROM / FROM NAMED need a quads table"
+            )
+        scoped = copy.copy(self)
+        if q.from_graphs:
+            ids = [self._const_id("g", t.lex) for t in q.from_graphs]
+            tri = (
+                self.quads.filter(F.col("g").isin(ids))
+                .select("s", "p", "o")
+                .dropDuplicates(["s", "p", "o"])
+            )
+            scoped.spo = tri
+            scoped.ops = tri
+            scoped.pso = None
+            scoped.stats = None  # stats describe the full dataset
+        if q.from_named:
+            ids = [self._const_id("g", t.lex) for t in q.from_named]
+            scoped.quads = self.quads.filter(F.col("g").isin(ids))
+        elif q.from_graphs:
+            # FROM without FROM NAMED: the named-graph set is empty
+            scoped.quads = self.quads.filter(F.lit(False))
+        return scoped
+
+    def _describe(self, q: Query) -> DataFrame:
+        """DESCRIBE: every triple whose subject or object is one of the
+        described resources (symmetric concise description — the spec
+        leaves the exact shape to the implementation; RDF4J, which the
+        reference delegates to, returns the resource's incident
+        triples). Resources = the listed IRIs plus the bindings of the
+        listed variables from WHERE. All set logic stays in ID space:
+        term -> sid/oid maps, semi-joins against SPO/OPS, decode last."""
+        from qendpoint_spark.encoding import decode_triples
+
+        iri_terms = [r.lex for r in q.projection if isinstance(r, Term)]
+        var_names = [r.name for r in q.projection if isinstance(r, Var)]
+        spark = self.spo.sparkSession
+        frames = []
+        if iri_terms:
+            frames.append(
+                spark.createDataFrame(
+                    [(t,) for t in iri_terms], "term string"
+                )
+            )
+        if var_names:
+            bf = self._compile_group(q.where)
+            for v in var_names:
+                self._to_term(bf, v)
+                frames.append(
+                    bf.df.select(F.col(v).alias("term")).where(
+                        F.col(v).isNotNull()
+                    )
+                )
+        if not frames:
+            raise ValueError("DESCRIBE with no resources")
+        res = frames[0]
+        for f in frames[1:]:
+            res = res.unionByName(f)
+        res = res.distinct()
+        smap = self._role_map("s")
+        omap = self._role_map("o")
+        sids = res.join(smap, "term").select(F.col("id").alias("s"))
+        oids = res.join(omap, "term").select(F.col("id").alias("o"))
+        by_s = self.spo.join(sids, "s", "left_semi")
+        by_o = self.ops.select("s", "p", "o").join(oids, "o", "left_semi")
+        hits = by_s.unionByName(by_o).dropDuplicates(["s", "p", "o"])
+        return decode_triples(hits, self.dict_terms)
 
     # -- group graph patterns -------------------------------------------
 
@@ -259,19 +351,37 @@ class SparqlEngine:
             nonlocal acc, pending
             if not pending:
                 return
-            roles: dict = {}
-            df = scan_bgp(
-                self.spo,
-                self.ops,
-                pending,
-                stats=self.stats,
-                pso=self.pso,
-                n_shared=self.n_shared,
-                roles_out=roles,
-            )
+            # a variable used in predicate position by one pattern and
+            # subject/object position by another cannot join in ID
+            # space (separate namespaces): run those patterns as
+            # separate scans so _join reconciles them on decoded terms
+            pred_vars = {p[1] for p in pending if isinstance(p[1], str)}
+            so_vars = {
+                v
+                for p in pending
+                for v in (p[0], p[2])
+                if isinstance(v, str)
+            }
+            conflicted = pred_vars & so_vars
+            batches: list[list[tuple]]
+            if conflicted:
+                batches = [[p] for p in pending]
+            else:
+                batches = [pending]
             pending = []
-            bf = _BFrame(df, dict(roles))
-            acc = bf if acc is None else self._join(acc, bf, "inner")
+            for batch in batches:
+                roles: dict = {}
+                df = scan_bgp(
+                    self.spo,
+                    self.ops,
+                    batch,
+                    stats=self.stats,
+                    pso=self.pso,
+                    n_shared=self.n_shared,
+                    roles_out=roles,
+                )
+                bf = _BFrame(df, dict(roles))
+                acc = bf if acc is None else self._join(acc, bf, "inner")
 
         for el in ggp.elements:
             if isinstance(el, TriplePattern):
@@ -314,6 +424,10 @@ class SparqlEngine:
                 flush()
                 sub = self._subframe(el.query)
                 acc = sub if acc is None else self._join(acc, sub, "inner")
+            elif isinstance(el, GraphGroup):
+                flush()
+                sub = self._compile_graph_group(el)
+                acc = sub if acc is None else self._join(acc, sub, "inner")
             elif isinstance(el, ValuesClause):
                 values.append(el)
             else:
@@ -349,6 +463,78 @@ class SparqlEngine:
                 return _BFrame(acc.df.limit(0), acc.kinds)
             return acc
         return self._join(acc, sub, "left_anti" if negated else "left_semi")
+
+    def _compile_graph_group(self, gg: GraphGroup) -> _BFrame:
+        """GRAPH (iri|var) { triple patterns [FILTER...] } over the
+        encoded quads table: each pattern is a filtered scan of
+        (s,p,o,g) with the graph component bound (const gid) or
+        projected (?g, kind 'g' — its own ID namespace, decoded via
+        the broadcast G section). Leaves join through the same
+        role-guarded _join as everything else."""
+        if self.quads is None:
+            raise NotImplementedError(
+                "GRAPH patterns need a quads table: "
+                "SparqlEngine(..., quads=encoded_spog)"
+            )
+        acc: _BFrame | None = None
+        filters = []
+        for el in gg.group.elements:
+            if isinstance(el, FilterClause):
+                filters.append(el.expr)
+                continue
+            if not isinstance(el, TriplePattern) or not isinstance(
+                el.p, (Term, Var)
+            ):
+                raise NotImplementedError(
+                    "only plain triple patterns and FILTER are "
+                    "supported inside GRAPH"
+                )
+            df = self.quads
+            kinds: dict = {}
+            var_pos: dict[str, str] = {}
+            for col, x, role in (
+                ("s", el.s, "s"),
+                ("p", el.p, "p"),
+                ("o", el.o, "o"),
+                ("g", gg.graph, "g"),
+            ):
+                if isinstance(x, Var):
+                    name = x.name
+                elif isinstance(x, Term) and x.lex.startswith("_:"):
+                    name = f"__bn_{x.lex[2:]}"
+                else:
+                    t = x.as_term() if isinstance(x, NumLit) else x
+                    df = df.filter(
+                        F.col(col) == F.lit(self._const_id(role, t.lex))
+                    )
+                    continue
+                if name in var_pos:
+                    cond = F.col(var_pos[name]) == F.col(col)
+                    prev_role = kinds[name]
+                    if {prev_role, role} == {"s", "o"}:
+                        cond = cond & (F.col(col) <= F.lit(self.n_shared))
+                        kinds[name] = "so"
+                    elif prev_role != role:
+                        raise NotImplementedError(
+                            f"?{name} repeats across {prev_role}/{role} "
+                            "roles within one quad pattern"
+                        )
+                    df = df.filter(cond)
+                else:
+                    var_pos[name] = col
+                    kinds.setdefault(name, role)
+            df = df.select(
+                *[F.col(c).alias(v) for v, c in var_pos.items()]
+            )
+            bf = _BFrame(df, kinds)
+            acc = bf if acc is None else self._join(acc, bf, "inner")
+        if acc is None:
+            raise NotImplementedError("empty GRAPH group")
+        for expr in filters:
+            col, _ = self._expr(expr, acc)
+            acc.df = acc.df.filter(col.cast("boolean"))
+        acc.df = _drop_aux(acc.df)
+        return acc
 
     def _union(self, branches: list[_BFrame]) -> _BFrame:
         """UNION: concatenate solution sets, padding absent variables
@@ -596,7 +782,7 @@ class SparqlEngine:
         m = self._role_map(k).select(
             F.col("term").alias("__aux_t"), F.col("id").alias("__aux_i")
         )
-        if k == "p":
+        if k in ("p", "g"):
             m = F.broadcast(m)
         bf.df = (
             bf.df.join(m, bf.df[v] == m["__aux_i"], "left")
@@ -617,7 +803,7 @@ class SparqlEngine:
             m = self._role_map(k).select(
                 F.col("term").alias(hidden), F.col("id").alias("__aux_i")
             )
-            if k == "p":
+            if k in ("p", "g"):
                 m = F.broadcast(m)
             bf.df = bf.df.join(
                 m, bf.df[v] == m["__aux_i"], "left"
@@ -916,6 +1102,26 @@ class SparqlEngine:
                     c = self._lex(bf, x.name)
                     cols.append(c.alias(name))
                     notnull.append(c.isNotNull())
+                elif isinstance(x, Term) and x.lex.startswith("_:"):
+                    # template bnodes mint a FRESH bnode per solution
+                    # (SPARQL 1.1 §16.2.1) — skolemized from the full
+                    # binding row so equal solutions reuse one label
+                    row_hash = F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            *[
+                                F.coalesce(
+                                    bf.df[v].cast("string"), F.lit("")
+                                )
+                                for v in sorted(bf.kinds)
+                            ],
+                        )
+                    )
+                    cols.append(
+                        F.concat(
+                            F.lit(x.lex + "_"), row_hash
+                        ).alias(name)
+                    )
                 else:
                     t = x.as_term() if isinstance(x, NumLit) else x
                     cols.append(F.lit(t.lex).alias(name))
@@ -935,6 +1141,13 @@ class SparqlEngine:
 
 
 # ---------------------------------------------------------------- helpers
+
+
+def _strip_dataset(q: Query) -> Query:
+    """Copy a query without its dataset clauses (already applied)."""
+    import dataclasses
+
+    return dataclasses.replace(q, from_graphs=[], from_named=[])
 
 
 def _drop_aux(df: DataFrame) -> DataFrame:
@@ -1017,6 +1230,17 @@ def _collect_consts(q: Query) -> set[tuple[str, str]]:
             elif isinstance(el, UnionGroup):
                 for b in el.branches:
                     group(b)
+            elif isinstance(el, GraphGroup):
+                term(el.graph, "g")
+                group(el.group)
+            elif isinstance(el, SubSelect):
+                group(el.query.where)
+            elif isinstance(el, FilterClause) and isinstance(
+                el.expr, ExistsExpr
+            ):
+                group(el.expr.group)
 
     group(q.where)
+    for t in list(q.from_graphs) + list(q.from_named):
+        out.add(("g", t.lex))
     return out

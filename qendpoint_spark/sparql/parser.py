@@ -120,6 +120,15 @@ class OptionalGroup:
 
 
 @dataclass
+class GraphGroup:
+    """GRAPH (iri|var) { ... } — scoped to one named graph (or ranging
+    over graph names via a variable)."""
+
+    graph: object  # Term | Var
+    group: "GroupGraphPattern"
+
+
+@dataclass
 class MinusGroup:
     group: "GroupGraphPattern"
 
@@ -191,7 +200,7 @@ class ExistsExpr:
 
 @dataclass
 class Query:
-    form: str  # SELECT | ASK | CONSTRUCT
+    form: str  # SELECT | ASK | CONSTRUCT | DESCRIBE
     distinct: bool
     projection: list  # of Var | Aggregate; empty = SELECT *
     template: list  # CONSTRUCT template TriplePatterns
@@ -201,6 +210,9 @@ class Query:
     order_by: list  # of (expr, ascending: bool)
     limit: int | None
     offset: int | None
+    from_graphs: list = field(default_factory=list)  # FROM <g> Terms
+    from_named: list = field(default_factory=list)  # FROM NAMED <g>
+
 
 
 # ---------------------------------------------------------------- lexer
@@ -214,8 +226,8 @@ _TOKEN_RE = re.compile(
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<DOUBLECARET>\^\^)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9])?|[A-Za-z_][A-Za-z_0-9.-]*?:)
   | (?P<BLANK>_:[A-Za-z_0-9]+)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9])?|[A-Za-z_][A-Za-z_0-9.-]*?:)
   | (?P<KEYWORD>[A-Za-z][A-Za-z_0-9]*)
   | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,/|^+*!<>=\-])
     """,
@@ -321,8 +333,10 @@ class _Parser:
             q = self.parse_ask()
         elif self.at_kw("CONSTRUCT"):
             q = self.parse_construct()
+        elif self.at_kw("DESCRIBE"):
+            q = self.parse_describe()
         else:
-            self.err("expected SELECT, ASK or CONSTRUCT")
+            self.err("expected SELECT, ASK, CONSTRUCT or DESCRIBE")
         if self.peek().kind != "EOF":
             self.err("trailing input after query")
         return q
@@ -351,10 +365,11 @@ class _Parser:
                     break
             if not projection:
                 self.err("SELECT needs a projection or *")
+        fg, fn = self.parse_dataset()
         where = self.parse_where()
         group_by, having, order_by, limit, offset = self.parse_modifiers()
         return Query("SELECT", distinct, projection, [], where,
-                     group_by, having, order_by, limit, offset)
+                     group_by, having, order_by, limit, offset, fg, fn)
 
     def parse_projection_expr(self):
         self.eat_op("(")
@@ -395,20 +410,62 @@ class _Parser:
         self.eat_op(")")
         return Aggregate(func, arg, distinct, "", sep)
 
+    def parse_describe(self) -> Query:
+        """DESCRIBE (var | iri)+ [WHERE {...}] — projection holds the
+        described resources (Var or Term); an absent WHERE leaves an
+        empty group."""
+        self.eat_kw("DESCRIBE")
+        resources: list = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                resources.append(Var(self.next().text[1:]))
+            elif t.kind in ("IRIREF", "PNAME"):
+                resources.append(self.parse_term_or_var())
+            else:
+                break
+        if not resources:
+            self.err("DESCRIBE needs at least one resource")
+        fg, fn = self.parse_dataset()
+        where = GroupGraphPattern()
+        if self.at_kw("WHERE") or self.at_op("{"):
+            where = self.parse_where()
+        return Query("DESCRIBE", True, resources, [], where,
+                     [], None, [], None, None, fg, fn)
+
     def parse_ask(self) -> Query:
         self.eat_kw("ASK")
+        fg, fn = self.parse_dataset()
         where = self.parse_where()
-        return Query("ASK", False, [], [], where, [], None, [], None, None)
+        return Query("ASK", False, [], [], where, [], None, [], None,
+                     None, fg, fn)
 
     def parse_construct(self) -> Query:
         self.eat_kw("CONSTRUCT")
         self.eat_op("{")
         template = self.parse_triples_block(paths_allowed=False)
         self.eat_op("}")
+        fg, fn = self.parse_dataset()
         where = self.parse_where()
         _, _, order_by, limit, offset = self.parse_modifiers()
         return Query("CONSTRUCT", True, [], template, where,
-                     [], None, order_by, limit, offset)
+                     [], None, order_by, limit, offset, fg, fn)
+
+    def parse_dataset(self) -> tuple[list, list]:
+        """FROM <g> / FROM NAMED <g> clauses (dataset selection)."""
+        from_graphs: list = []
+        from_named: list = []
+        while self.at_kw("FROM"):
+            self.next()
+            named = False
+            if self.at_kw("NAMED"):
+                self.next()
+                named = True
+            t = self.parse_term_or_var()
+            if not isinstance(t, Term):
+                self.err("FROM takes an IRI")
+            (from_named if named else from_graphs).append(t)
+        return from_graphs, from_named
 
     def parse_where(self) -> GroupGraphPattern:
         if self.at_kw("WHERE"):
@@ -479,6 +536,12 @@ class _Parser:
             elif self.at_kw("MINUS"):
                 self.next()
                 g.elements.append(MinusGroup(self.parse_ggp()))
+            elif self.at_kw("GRAPH"):
+                self.next()
+                gt = self.parse_term_or_var()
+                if not isinstance(gt, (Var, Term)):
+                    self.err("GRAPH takes an IRI or a variable")
+                g.elements.append(GraphGroup(gt, self.parse_ggp()))
             elif self.at_kw("BIND"):
                 self.next()
                 self.eat_op("(")

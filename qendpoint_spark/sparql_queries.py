@@ -40,6 +40,31 @@ _TRUE = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
 _ENGINES: dict[tuple[int, str], object] = {}
 
 
+def _quad_engine(spark: SparkSession, sf_dir: str):
+    """Engine over the quad grammar (per-source named graphs): quads
+    table for GRAPH patterns, default graph = union of all graphs."""
+    key = (id(spark), sf_dir, "quads")
+    if key not in _ENGINES:
+        from qendpoint_spark.dictionary import build_dictionary
+        from qendpoint_spark.encoding import encode_triples
+        from qendpoint_spark.entry_queries import _docs, quad_triples_str
+        from qendpoint_spark.sparql import SparqlEngine
+
+        base = quad_triples_str(_docs(spark, sf_dir))
+        qdict = build_dictionary(base).localCheckpoint(eager=True)
+        encq = encode_triples(base, qdict).localCheckpoint(eager=True)
+        tri = encq.drop("g").dropDuplicates(["s", "p", "o"])
+        _ENGINES[key] = SparqlEngine(tri, qdict, quads=encq)
+    return _ENGINES[key]
+
+
+def _qq(text: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _quad_engine(spark, sf_dir).query(text)
+
+    return run
+
+
 def _engine(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _ENGINES:
@@ -174,7 +199,39 @@ SPARQL_QUERIES = {
         + "SELECT ?l (SAMPLE(?doc) AS ?d0) WHERE { ?doc p:lang ?l } "
         "GROUP BY ?l"
     ),
+    # DESCRIBE: incident triples of the resources bound by WHERE
+    "sparql_describe": _q(
+        _P + 'DESCRIBE ?e WHERE { ?e p:label "scan" }'
+    ),
+    # GRAPH with a graph variable over the quad table
+    "sparql_graph_var": _qq(
+        _P + "SELECT ?doc ?g WHERE { GRAPH ?g { ?doc p:source ?src } }"
+    ),
+    # GRAPH with a constant graph IRI (bound gid pushed into the scan)
+    "sparql_graph_const": _qq(
+        _P
+        + "SELECT ?doc ?l WHERE { GRAPH "
+        "<http://example.org/graph/src3> { ?doc p:lang ?l } }"
+    ),
 }
+
+_QUADS_CTE = """
+WITH quads AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'http://example.org/doc/' || doc_id AS s,
+           'http://example.org/prop/lang' AS p,
+           '"' || lang || '"@' || lang AS o,
+           'http://example.org/graph/' || source AS g
+    FROM documents
+    UNION ALL
+    SELECT 'http://example.org/doc/' || doc_id,
+           'http://example.org/prop/source',
+           '"' || source || '"',
+           'http://example.org/graph/' || source
+    FROM documents
+  )
+)
+"""
 
 
 SPARQL_ORACLES = {
@@ -299,5 +356,20 @@ GROUP BY t1.s
     "sparql_sample": _PRE
     + f"""
 SELECT o AS l, min(s) AS d0 FROM triples WHERE p = '{_LANG}' GROUP BY o
+""",
+    "sparql_describe": _PRE
+    + f"""
+, r AS (SELECT s FROM triples WHERE p = '{_LABEL}' AND o = '"scan"')
+SELECT DISTINCT t.s, t.p, t.o FROM triples t
+WHERE t.s IN (SELECT s FROM r) OR t.o IN (SELECT s FROM r)
+""",
+    "sparql_graph_var": _QUADS_CTE
+    + f"""
+SELECT s AS doc, g FROM quads WHERE p = '{_SOURCE}'
+""",
+    "sparql_graph_const": _QUADS_CTE
+    + f"""
+SELECT s AS doc, o AS l FROM quads
+WHERE p = '{_LANG}' AND g = 'http://example.org/graph/src3'
 """,
 }

@@ -202,6 +202,7 @@ def chain_engine(spark):
         ("e1", "n", "e2"),
         ("e2", "n", "e3"),
         ("e3", "t", "e1"),  # closes SH membership for e1/e3
+        ("n", "t", "e1"),  # predicate IRI as a subject (pred metadata)
     ]
     tri = spark.createDataFrame(rows, "s string, p string, o string")
     d = build_dictionary(tri).cache()
@@ -309,6 +310,98 @@ def test_engine_from_catalog(spark, tmp_path):
     assert got == exp
 
 
+@pytest.fixture(scope="module")
+def quad_engine(spark):
+    rows = [
+        ("d1", "m", "x", "g1"),
+        ("d1", "m", "y", "g2"),
+        ("d2", "m", "x", "g2"),
+    ]
+    q = spark.createDataFrame(
+        rows, "s string, p string, o string, g string"
+    )
+    d = build_dictionary(q).cache()
+    encq = encode_triples(q, d).cache()
+    tri = encq.drop("g").dropDuplicates(["s", "p", "o"])
+    return SparqlEngine(tri, d, quads=encq)
+
+
+def test_engine_graph_patterns(quad_engine):
+    out = quad_engine.query(
+        "SELECT ?s ?g WHERE { GRAPH ?g { ?s <m> <x> } }"
+    )
+    assert _rows(out) == [("d1", "g1"), ("d2", "g2")]
+    out = quad_engine.query(
+        "SELECT ?s ?o WHERE { GRAPH <g2> { ?s <m> ?o } }"
+    )
+    assert _rows(out) == [("d1", "y"), ("d2", "x")]
+    # default graph (outside GRAPH) = union of graphs here
+    out = quad_engine.query("SELECT ?s WHERE { ?s <m> <y> }")
+    assert _rows(out) == [("d1",)]
+    # graph var joins across groups on gid
+    # both patterns must hold within the SAME graph: no graph has
+    # d1-m-x together with a d2 triple -> empty
+    out = quad_engine.query(
+        "SELECT ?g WHERE { GRAPH ?g { <d1> <m> <x> . <d2> <m> ?z } }"
+    )
+    assert _rows(out) == []
+    # ... while g2 does contain d1-m-y and d2-m-x
+    out = quad_engine.query(
+        "SELECT ?g WHERE { GRAPH ?g { <d1> <m> ?a . <d2> <m> ?b } }"
+    )
+    assert _rows(out) == [("g2",)]
+
+
+def test_engine_from_dataset_clauses(quad_engine):
+    # FROM narrows the default graph to g1's triples
+    out = quad_engine.query("SELECT ?s ?o FROM <g1> WHERE { ?s <m> ?o }")
+    assert _rows(out) == [("d1", "x")]
+    out = quad_engine.query(
+        "SELECT ?s ?o FROM <g1> FROM <g2> WHERE { ?s <m> ?o }"
+    )
+    assert len(_rows(out)) == 3
+    # FROM NAMED restricts which graphs GRAPH ?g ranges over
+    out = quad_engine.query(
+        "SELECT ?g ?s FROM NAMED <g2> WHERE { GRAPH ?g { ?s <m> ?o } }"
+    )
+    assert _rows(out) == [("g2", "d1"), ("g2", "d2")]
+    # FROM without FROM NAMED empties the named-graph set
+    out = quad_engine.query(
+        "SELECT ?g FROM <g1> WHERE { GRAPH ?g { ?s <m> ?o } }"
+    )
+    assert _rows(out) == []
+
+
+def test_engine_describe(chain_engine):
+    out = chain_engine.query("DESCRIBE <e>")
+    assert _rows(out) == [("d1", "m", "e"), ("d2", "m", "e")]
+    out = chain_engine.query("DESCRIBE ?x WHERE { ?x <t> ?y }")
+    assert _rows(out) == [
+        ("e2", "n", "e3"), ("e3", "t", "e1"), ("n", "t", "e1")
+    ]
+
+
+def test_engine_construct_bnode_template(chain_engine):
+    out = chain_engine.query(
+        "CONSTRUCT { ?s <via> _:b } WHERE { ?s <m> ?o }"
+    )
+    rows = _rows(out)
+    assert len(rows) == 2  # one fresh bnode per solution, not shared
+    assert len({r[2] for r in rows}) == 2
+    assert all(r[2].startswith("_:b_") for r in rows)
+
+
+def test_engine_pred_var_cross_role_join(chain_engine):
+    """?p is a predicate in one pattern and a subject in the next —
+    distinct ID namespaces, so the engine must join on decoded terms.
+    Only predicate `n` has metadata (`n t e1`), so the n-edges
+    survive."""
+    out = chain_engine.query(
+        "SELECT ?a ?b WHERE { ?a ?p ?b . ?p <t> ?x }"
+    )
+    assert _rows(out) == [("e1", "e2"), ("e2", "e3")]
+
+
 def test_engine_subquery_and_new_aggs(chain_engine):
     out = chain_engine.query(
         "SELECT ?o ?n WHERE { ?s <m> ?o . "
@@ -330,7 +423,7 @@ def test_engine_term_tests(chain_engine):
     out = chain_engine.query(
         "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isIRI(?o)) }"
     )
-    assert len(_rows(out)) == 5  # every object here is an IRI
+    assert len(_rows(out)) == 6  # every object here is an IRI
     out = chain_engine.query(
         "SELECT ?s WHERE { ?s ?pr ?o . FILTER(isLiteral(?o)) }"
     )
