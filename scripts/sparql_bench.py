@@ -60,8 +60,21 @@ WARM_RUNS = 3
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    expand = int(os.environ.get("SPARK_GRAFT_EXPAND", "40"))
     spark = get_spark("sparql-bench", cores=cpus)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if expand > 1:  # same corpus replication as bench.py
+        from pyspark.sql import functions as F
+
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        reps = spark.range(expand).withColumnRenamed("id", "rep")
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("rep") * F.lit(max_id)
+            )
+            .drop("rep")
+        )
     tri = extract_triples_from_documents(docs).localCheckpoint(eager=True)
     d = build_dictionary(tri).localCheckpoint(eager=True)
     enc = encode_triples(tri, d).localCheckpoint(eager=True)
@@ -92,6 +105,7 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").split("/")[-1].replace("sf", ""),
         "triples": n_triples,
         "cpus": cpus,
+        "expand": expand,
     }
     print(json.dumps(out))
     (REPO / "BENCH" / "sparql_bench_latest.json").write_text(
