@@ -10,7 +10,17 @@ plans.paths), decoding bindings to lexical terms only at the edges
 (late materialization).
 """
 
-from qendpoint_spark.sparql.parser import parse_query
+from qendpoint_spark.sparql.parser import parse_query, parse_update
 from qendpoint_spark.sparql.algebra import SparqlEngine
+from qendpoint_spark.sparql.update import (
+    apply_update,
+    apply_update_to_triples,
+)
 
-__all__ = ["parse_query", "SparqlEngine"]
+__all__ = [
+    "parse_query",
+    "parse_update",
+    "SparqlEngine",
+    "apply_update",
+    "apply_update_to_triples",
+]

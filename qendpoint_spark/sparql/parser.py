@@ -186,6 +186,29 @@ class SubSelect:
     query: "Query"
 
 
+# update operations ------------------------------------------------------
+
+
+@dataclass
+class InsertData:
+    triples: list  # ground TriplePatterns
+
+
+@dataclass
+class DeleteData:
+    triples: list  # ground TriplePatterns
+
+
+@dataclass
+class Modify:
+    """DELETE {tmpl} INSERT {tmpl} WHERE {ggp} (either template may be
+    empty; DELETE WHERE {p} sets delete_tmpl = the pattern itself)."""
+
+    delete_tmpl: list
+    insert_tmpl: list
+    where: "GroupGraphPattern"
+
+
 @dataclass
 class ExistsExpr:
     """FILTER [NOT] EXISTS { ... } — evaluated as a semi/anti join,
@@ -910,3 +933,74 @@ def _unescape(s: str) -> str:
 def parse_query(text: str) -> Query:
     """Parse a SPARQL string into a Query AST."""
     return _Parser(tokenize(text), text).parse()
+
+
+def parse_update(text: str) -> list:
+    """Parse a SPARQL UPDATE string into a list of operations
+    (InsertData | DeleteData | Modify), `;`-separated, applied in
+    order. Subset: INSERT DATA, DELETE DATA, DELETE WHERE,
+    [DELETE {t}] [INSERT {t}] WHERE {p}. No GRAPH blocks inside
+    updates; LOAD/CLEAR/MOVE are not supported."""
+    p = _Parser(tokenize(text), text)
+    while p.at_kw("PREFIX", "BASE"):
+        # reuse the prologue loop by parsing it the same way parse() does
+        if p.at_kw("BASE"):
+            p.next()
+            p.prefixes[""] = p.next().text[1:-1]
+        else:
+            p.next()
+            pfx = p.next().text
+            p.prefixes[pfx[:-1]] = p.next().text[1:-1]
+    ops: list = []
+
+    def ground_block() -> list:
+        p.eat_op("{")
+        tris = p.parse_triples_block(paths_allowed=False) if not p.at_op("}") else []
+        p.eat_op("}")
+        for t in tris:
+            for x in (t.s, t.p, t.o):
+                if isinstance(x, Var):
+                    p.err("DATA blocks must be ground (no variables)")
+        return tris
+
+    def tmpl_block() -> list:
+        p.eat_op("{")
+        tris = p.parse_triples_block(paths_allowed=False) if not p.at_op("}") else []
+        p.eat_op("}")
+        return tris
+
+    while p.peek().kind != "EOF":
+        if p.at_kw("INSERT"):
+            p.next()
+            if p.at_kw("DATA"):
+                p.next()
+                ops.append(InsertData(ground_block()))
+            else:  # INSERT {t} WHERE {p}
+                tmpl = tmpl_block()
+                p.eat_kw("WHERE")
+                ops.append(Modify([], tmpl, p.parse_ggp()))
+        elif p.at_kw("DELETE"):
+            p.next()
+            if p.at_kw("DATA"):
+                p.next()
+                ops.append(DeleteData(ground_block()))
+            elif p.at_kw("WHERE"):
+                p.next()
+                g = p.parse_ggp()
+                tmpl = [e for e in g.elements if isinstance(e, TriplePattern)]
+                ops.append(Modify(tmpl, [], g))
+            else:  # DELETE {t} [INSERT {t}] WHERE {p}
+                dt = tmpl_block()
+                it: list = []
+                if p.at_kw("INSERT"):
+                    p.next()
+                    it = tmpl_block()
+                p.eat_kw("WHERE")
+                ops.append(Modify(dt, it, p.parse_ggp()))
+        else:
+            p.err("expected INSERT or DELETE")
+        if p.at_op(";"):
+            p.next()
+    if not ops:
+        raise SyntaxError("empty SPARQL UPDATE")
+    return ops

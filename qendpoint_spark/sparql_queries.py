@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from qendpoint_spark.entry_queries import (
     _dict,
     _enc,
+    _triples,
     _triples_cte,
 )
 
@@ -89,6 +90,27 @@ def _q(text: str):
         return _engine(spark, sf_dir).query(text)
 
     return run
+
+
+_UPDATE_TEXT = (
+    _P
+    + "DELETE { ?doc p:flag ?f } WHERE { ?doc p:flag ?f } ;\n"
+    + "INSERT { ?e <http://example.org/prop/mentionedBy> ?doc } "
+    + "WHERE { ?doc p:mentions ?e } ;\n"
+    + "INSERT DATA { <http://example.org/meta> "
+    + '<http://example.org/prop/version> "v2" }'
+)
+
+
+def _sparql_update_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SPARQL UPDATE over the extracted triple state: drop every
+    flag triple, materialize inverse mentions edges, append one
+    metadata statement — the pipeline analog of the reference's
+    delta-store UPDATE path (EndpointStoreConnection), applied as set
+    transformations (sparql/update.py)."""
+    from qendpoint_spark.sparql import apply_update_to_triples
+
+    return apply_update_to_triples(_triples(spark, sf_dir), _UPDATE_TEXT)
 
 
 SPARQL_QUERIES = {
@@ -213,6 +235,8 @@ SPARQL_QUERIES = {
         + "SELECT ?doc ?l WHERE { GRAPH "
         "<http://example.org/graph/src3> { ?doc p:lang ?l } }"
     ),
+    # batch SPARQL UPDATE folded over the triple state
+    "sparql_update_apply": _sparql_update_apply,
 }
 
 _QUADS_CTE = """
@@ -371,5 +395,16 @@ SELECT s AS doc, g FROM quads WHERE p = '{_SOURCE}'
     + f"""
 SELECT s AS doc, o AS l FROM quads
 WHERE p = '{_LANG}' AND g = 'http://example.org/graph/src3'
+""",
+    "sparql_update_apply": _PRE
+    + f"""
+SELECT s, p, o FROM triples WHERE p != '{_FLAG}'
+UNION
+SELECT DISTINCT o AS s, 'http://example.org/prop/mentionedBy' AS p,
+       s AS o
+FROM triples WHERE p = '{_MENTIONS}'
+UNION
+SELECT 'http://example.org/meta', 'http://example.org/prop/version',
+       '"v2"'
 """,
 }

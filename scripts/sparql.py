@@ -39,7 +39,21 @@ def main() -> None:
         text = qarg
 
     spark = get_spark("qendpoint-sparql")
-    engine = SparqlEngine.from_catalog(Catalog(spark, warehouse))
+    catalog = Catalog(spark, warehouse)
+    # update scripts (INSERT/DELETE after the prologue) mutate the
+    # warehouse — the /api/endpoint/update analog
+    import re
+
+    body = re.sub(r"(?:PREFIX\s+\S+\s+<[^>]*>\s*|BASE\s+<[^>]*>\s*)", "",
+                  text, flags=re.I).lstrip()
+    if re.match(r"(?i)(INSERT|DELETE)\b", body):
+        from qendpoint_spark.sparql import apply_update
+
+        report = apply_update(spark, catalog, text)
+        print(f"update applied: {report.n_triples or ''} triples published")
+        spark.stop()
+        return
+    engine = SparqlEngine.from_catalog(catalog)
     df = engine.query(text)
     rows = df.take(show) if show else df.collect()
     print("\t".join(df.columns))

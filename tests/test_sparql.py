@@ -419,6 +419,48 @@ def test_engine_subquery_and_new_aggs(chain_engine):
     assert _rows(out) == [("e", "d1")]
 
 
+def test_update_apply(spark, mini, tmp_path):
+    """Batch SPARQL UPDATE: data ops + a DELETE/INSERT WHERE, then the
+    insert-only fast path through the published warehouse."""
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import run_pipeline
+    from qendpoint_spark.sparql import apply_update, apply_update_to_triples
+
+    tri, d, enc = mini
+    out = apply_update_to_triples(
+        tri,
+        'INSERT DATA { <N1> <q> "v" } ;'
+        "DELETE DATA { <A> <p> <A> } ;"
+        "DELETE { ?x <q> ?y } INSERT { ?y <rev_q> ?x } WHERE { ?x <q> ?y }",
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("O1", "rev_q", "S1"),   # S1-q-O1 reversed
+        ("S1", "p", "O1"),
+        ('"v"', "rev_q", "N1"),  # the inserted data row, also reversed
+    }
+    # insert-only fast path: publishes through the incremental merge
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(
+        spark, catalog, source_df=tri, source_kind="triples",
+        source_fingerprint="upd-test", num_partitions=2, with_stats=False,
+    )
+    apply_update(
+        spark, catalog, "INSERT DATA { <X> <p> <Y> . <X> <p> <Z> }",
+        num_partitions=2,
+    )
+    from qendpoint_spark.encoding import decode_triples
+
+    got = sorted(
+        tuple(r)
+        for r in decode_triples(
+            catalog.read("triples_spo"), catalog.read("dict_terms")
+        ).collect()
+    )
+    assert ("X", "p", "Y") in got and ("X", "p", "Z") in got
+    assert len(got) == len(_TRIPLES) + 2
+
+
 def test_engine_term_tests(chain_engine):
     out = chain_engine.query(
         "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isIRI(?o)) }"
