@@ -465,6 +465,23 @@ class _Parser:
 
     def parse_construct(self) -> Query:
         self.eat_kw("CONSTRUCT")
+        if self.at_kw("WHERE") or self.at_op("{") is False:
+            # CONSTRUCT WHERE { pattern }: the pattern IS the template
+            fg, fn = self.parse_dataset()
+            where = self.parse_where()
+            template = [
+                e
+                for e in where.elements
+                if isinstance(e, TriplePattern)
+                and isinstance(e.p, (Term, Var))
+            ]
+            if len(template) != len(where.elements):
+                self.err(
+                    "CONSTRUCT WHERE allows only plain triple patterns"
+                )
+            _, _, order_by, limit, offset = self.parse_modifiers()
+            return Query("CONSTRUCT", True, [], template, where,
+                         [], None, order_by, limit, offset, fg, fn)
         self.eat_op("{")
         template = self.parse_triples_block(paths_allowed=False)
         self.eat_op("}")

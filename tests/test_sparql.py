@@ -372,6 +372,11 @@ def test_engine_from_dataset_clauses(quad_engine):
     assert _rows(out) == []
 
 
+def test_engine_construct_where_shorthand(chain_engine):
+    out = chain_engine.query("CONSTRUCT WHERE { ?s <m> ?o }")
+    assert _rows(out) == [("d1", "m", "e"), ("d2", "m", "e")]
+
+
 def test_engine_describe(chain_engine):
     out = chain_engine.query("DESCRIBE <e>")
     assert _rows(out) == [("d1", "m", "e"), ("d2", "m", "e")]
