@@ -372,6 +372,26 @@ def test_engine_from_dataset_clauses(quad_engine):
     assert _rows(out) == []
 
 
+def test_engine_plan_shapes(chain_engine, quad_engine):
+    """Plan assertions: the decode joins the engine adds for
+    projection/filter must broadcast the small P/G sections, and a
+    multi-pattern BGP through the engine must not degenerate into a
+    cartesian product."""
+    plan = chain_engine.query(
+        "SELECT ?s ?pr WHERE { ?s ?pr ?o }"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # predicate decode broadcasts
+    assert "CartesianProduct" not in plan
+    plan = chain_engine.query(
+        "SELECT ?a ?b WHERE { ?a <m> ?x . ?x <n>* ?b }"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    plan = quad_engine.query(
+        "SELECT ?s ?g WHERE { GRAPH ?g { ?s <m> ?o } }"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # graph decode broadcasts
+
+
 def test_engine_construct_where_shorthand(chain_engine):
     out = chain_engine.query("CONSTRUCT WHERE { ?s <m> ?o }")
     assert _rows(out) == [("d1", "m", "e"), ("d2", "m", "e")]
