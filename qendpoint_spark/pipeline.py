@@ -113,8 +113,11 @@ def run_pipeline(
         if source_kind == "triples":
             # parsed RDF may repeat statements (HDT stores a set; the
             # reference dedups in its triple sort) — unlike extraction,
-            # which emits distinct by construction
-            extractor = lambda df: df.dropDuplicates(["s", "p", "o"])  # noqa: E731
+            # which emits distinct by construction. Quad input dedups
+            # on the full (s,p,o,g) statement key.
+            extractor = lambda df: df.dropDuplicates(  # noqa: E731
+                ["s", "p", "o"] + (["g"] if "g" in df.columns else [])
+            )
         elif source_kind == "documents":
             extractor = extract_triples_from_documents
         else:
@@ -181,11 +184,32 @@ def run_pipeline(
     dict_terms = catalog.read("dict_terms")
 
     # S3 encode + SPO materialize -----------------------------------------
+    # quad input (a `g` column): the full (s,p,o,g) encode is published
+    # as quads_spog — GRAPH/FROM queries read it (sparql.algebra) — and
+    # the triple tables carry the graph-projected statements, so every
+    # triple-shaped stage (OPS/PSO/stats/header) is unchanged
+    with_quads = "g" in triples_str.columns
     fp2 = _fingerprint(fp1, "encode", str(res.rows))
     res = None if force else _resume(catalog, "triples_spo", fp2)
     if res is None:
-        # the extraction stage emits distinct triples by construction
-        enc = encode_triples(triples_str, dict_terms, assume_distinct=True)
+        if with_quads:
+            encq = encode_triples(
+                triples_str, dict_terms, assume_distinct=True
+            )
+            catalog.write_stage(
+                "quads_spog",
+                encq.repartition(
+                    *([num_partitions] if num_partitions else []), "g"
+                ).sortWithinPartitions("g", "s", "p", "o"),
+                fp2,
+                force=force,
+            )
+            enc = encq.drop("g").dropDuplicates(["s", "p", "o"])
+        else:
+            # the extraction stage emits distinct triples by construction
+            enc = encode_triples(
+                triples_str, dict_terms, assume_distinct=True
+            )
         res = catalog.write_stage(
             "triples_spo",
             spo_table(enc, num_partitions=num_partitions),

@@ -155,12 +155,16 @@ class SparqlEngine:
         stats = None
         if os.path.exists(catalog.table_path("predicate_index")):
             stats = PatternStats(catalog.read("predicate_index"))
+        quads = None
+        if os.path.exists(catalog.table_path("quads_spog")):
+            quads = catalog.read("quads_spog")
         return cls(
             dict_terms=catalog.read("dict_terms"),
             spo=catalog.read("triples_spo"),
             ops=catalog.read("triples_ops"),
             pso=pso,
             stats=stats,
+            quads=quads,
         )
 
     # -- dictionary access ----------------------------------------------

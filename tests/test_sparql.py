@@ -326,6 +326,38 @@ def quad_engine(spark):
     return SparqlEngine(tri, d, quads=encq)
 
 
+def test_pipeline_publishes_quads_for_catalog_engine(spark, tmp_path):
+    """Quad input through run_pipeline publishes quads_spog; a
+    from_catalog engine then serves GRAPH and FROM directly."""
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import run_pipeline
+
+    rows = [
+        ("d1", "m", "x", "g1"),
+        ("d1", "m", "x", "g1"),  # dup statement collapses
+        ("d2", "m", "x", "g2"),
+    ]
+    q = spark.createDataFrame(
+        rows, "s string, p string, o string, g string"
+    )
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(
+        spark, catalog, source_df=q, source_kind="triples",
+        source_fingerprint="quads-test", num_partitions=2,
+        with_stats=False,
+    )
+    eng = SparqlEngine.from_catalog(catalog)
+    assert eng.quads is not None
+    out = eng.query("SELECT ?s ?g WHERE { GRAPH ?g { ?s <m> <x> } }")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("d1", "g1"), ("d2", "g2")
+    ]
+    out = eng.query("SELECT ?s FROM <g2> WHERE { ?s <m> ?o }")
+    assert [tuple(r) for r in out.collect()] == [("d2",)]
+    # default graph = graph-projected statements (deduped)
+    assert catalog.read("triples_spo").count() == 2
+
+
 def test_engine_graph_patterns(quad_engine):
     out = quad_engine.query(
         "SELECT ?s ?g WHERE { GRAPH ?g { ?s <m> <x> } }"
