@@ -518,6 +518,35 @@ def test_update_apply(spark, mini, tmp_path):
     assert len(got) == len(_TRIPLES) + 2
 
 
+def test_engine_empty_corpus_and_unicode(spark):
+    """Degenerate and non-ASCII inputs through the full text->plan
+    path: an empty corpus answers (not errors), and unicode terms
+    round-trip the parser's \\u escapes against the dictionary."""
+    empty = spark.createDataFrame([], "s string, p string, o string")
+    d0 = build_dictionary(empty)
+    eng0 = SparqlEngine(encode_triples(empty, d0), d0)
+    assert eng0.query("SELECT ?s WHERE { ?s <p> ?o }").count() == 0
+    assert eng0.query("ASK { ?s ?p ?o }").collect()[0][0] is False
+
+    rows = [
+        ("http://ex/中文", "p", '"café"@fr'),
+        ("http://ex/a", "p", '"\U0001F600"'),
+    ]
+    tri = spark.createDataFrame(rows, "s string, p string, o string")
+    d = build_dictionary(tri)
+    eng = SparqlEngine(encode_triples(tri, d), d)
+    out = eng.query(
+        'SELECT ?s WHERE { ?s <p> "caf\\u00e9"@fr }'
+    )
+    assert [r[0] for r in out.collect()] == ["http://ex/中文"]
+    out = eng.query("SELECT ?o WHERE { <http://ex/中文> <p> ?o }")
+    assert [r[0] for r in out.collect()] == ['"café"@fr']
+    out = eng.query(
+        "SELECT ?s ?o WHERE { ?s <p> ?o . FILTER(STRLEN(STR(?o)) = 1) }"
+    )  # the astral-plane emoji is ONE codepoint
+    assert [r[1] for r in out.collect()] == ['"\U0001F600"']
+
+
 def test_engine_term_tests(chain_engine):
     out = chain_engine.query(
         "SELECT ?s ?o WHERE { ?s ?pr ?o . FILTER(isIRI(?o)) }"
