@@ -965,10 +965,14 @@ class SparqlEngine:
             ]
         else:  # SELECT *
             out_cols = list(bf.kinds)
-        # decode projected id columns to lexical terms
+        # decode projected id columns to lexical terms; a projected
+        # variable the pattern never binds is legal SPARQL and simply
+        # unbound (NULL) in every solution
         for c in out_cols:
             if c in bf.kinds and bf.kinds[c] in _ID_KINDS:
                 self._to_term(bf, c)
+            elif c not in bf.kinds and c not in bf.df.columns:
+                bf.df = bf.df.withColumn(c, F.lit(None).cast("string"))
         # sort keys become named columns BEFORE projection so ORDER BY
         # over non-projected variables / expressions still works; with
         # DISTINCT the keys are functionally dependent on the projected

@@ -541,6 +541,9 @@ def test_engine_empty_corpus_and_unicode(spark):
     assert [r[0] for r in out.collect()] == ["http://ex/中文"]
     out = eng.query("SELECT ?o WHERE { <http://ex/中文> <p> ?o }")
     assert [r[0] for r in out.collect()] == ['"café"@fr']
+    # projecting a never-bound variable is legal: unbound -> NULL
+    out = eng.query("SELECT ?nope ?o WHERE { <http://ex/中文> <p> ?o }")
+    assert [tuple(r) for r in out.collect()] == [(None, '"café"@fr')]
     out = eng.query(
         "SELECT ?s ?o WHERE { ?s <p> ?o . FILTER(STRLEN(STR(?o)) = 1) }"
     )  # the astral-plane emoji is ONE codepoint
