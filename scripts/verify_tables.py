@@ -76,6 +76,31 @@ def main() -> int:
     check("all predicate ids resolvable", spo.join(pmap, "p", "left_anti").count() == 0)
     check("all object ids resolvable", spo.join(omap, "o", "left_anti").count() == 0)
 
+    # quad layer (optional): distinct statements, resolvable graph ids,
+    # and the triple tables == the graph-projection of the quad set
+    import os
+
+    if os.path.isdir(f"{wh}/quads_spog"):
+        quads = spark.read.parquet(f"{wh}/quads_spog")
+        check(
+            "quads unique on (s,p,o,g)",
+            quads.count()
+            == quads.dropDuplicates(["s", "p", "o", "g"]).count(),
+        )
+        gmap = d.filter(F.col("section") == "G").select(
+            F.col("id").alias("g")
+        )
+        check(
+            "all graph ids resolvable",
+            quads.join(gmap, "g", "left_anti").count() == 0,
+        )
+        proj = quads.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+        check(
+            "triples == graph-projected quads",
+            proj.exceptAll(spo.select("s", "p", "o")).count() == 0
+            and proj.count() == spo.count(),
+        )
+
     print("FAILED:", errors if errors else "none")
     return 1 if errors else 0
 
