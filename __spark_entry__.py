@@ -6,6 +6,16 @@ queries()     — one entry per implemented operator (SURVEY.md §2).
 oracle_sql()  — exact DuckDB ANSI-SQL equivalents; the whole pipeline
                 is SQL-expressible by design, so correctness checks are
                 value-exact, not rows-only.
+
+Ordering contract: the driver grades the FIRST 50 entries of queries()
+in insertion order.  The registry has grown past 50 rows, so the merge
+below rotates the window each round: rows that have never received a
+driver hash-verdict come first (round 4: the 23 sparql_* rows, 8 rel_*
+rows, 4 stream_* rows, plus every row newly added this round), then a
+small set of regression canaries (kg_encode_spo, kg_dictionary,
+kg_cat_identity), then everything that is already driver-green from a
+previous round.  Across rounds every row earns at least one
+type-sensitive driver hash-pass.
 """
 
 from __future__ import annotations
@@ -26,8 +36,54 @@ from qendpoint_spark.sparql_queries import (  # noqa: E402
     SPARQL_QUERIES,
 )
 
-QUERIES = {**QUERIES, **OPS_QUERIES, **REL_QUERIES, **SPARQL_QUERIES}
-ORACLES = {**ORACLES, **OPS_ORACLES, **REL_ORACLES, **SPARQL_ORACLES}
+_ALL_QUERIES = {**QUERIES, **OPS_QUERIES, **REL_QUERIES, **SPARQL_QUERIES}
+_ALL_ORACLES = {**ORACLES, **OPS_ORACLES, **REL_ORACLES, **SPARQL_ORACLES}
+
+# Rows graded by the driver in rounds 2/3 (hash-green at least once).
+# Everything NOT in this set sorts to the front of the window.
+_DRIVER_GREEN = {
+    # round 3 (first 50 of the r3 registry): all 34 kg_* entry rows
+    "kg_extract_triples", "kg_quads_encode", "kg_pattern_scan_p",
+    "kg_pattern_scan_o", "kg_pattern_scan_sp", "kg_header",
+    "kg_ntriples_export", "kg_datatype_sections", "kg_pfc_sections",
+    "kg_psfc_sections", "kg_dictionary", "kg_encode_spo", "kg_ops_index",
+    "kg_adjacency_bits", "kg_predicate_index", "kg_object_index",
+    "kg_decode_roundtrip", "kg_shared_section", "kg_cat_identity",
+    "kg_cat_incremental", "kg_cat_incremental_dict", "kg_pattern_scan_so",
+    "kg_pattern_scan_po", "kg_sorted_orders", "kg_diff", "kg_bgp_join",
+    "kg_bgp_star", "kg_bgp_optional", "kg_bgp_minus", "kg_path_seq",
+    "kg_path_inv_alt", "kg_path_closure", "kg_path_bounded",
+    "kg_ntriples_ingest",
+    # round 3: first 16 ops rows
+    "dedup_exact", "text_stats", "token_counts", "lang_id",
+    "doc_fingerprint", "dedup_ngram_jaccard", "dedup_minhash_signatures",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
+    # round 2 (displaced from the r3 window but driver-green in r2)
+    "dedup_embedding_lsh", "kg_entity_link", "kg_entity_link_blocked",
+    "kg_canonicalize_cc", "kg_canonical_triples", "quality_filter",
+    "dedup_keepers", "dedup_minhash_accuracy",
+    "rel_agg_pricing_summary", "rel_join_revenue_by_nation",
+    "rel_window_topk_orders", "rel_window_running_balance",
+}
+
+# Regression canaries: keep a driver verdict on the pipeline core every
+# round even while the window rotates.
+_CANARIES = ["kg_encode_spo", "kg_dictionary", "kg_cat_identity"]
+
+
+def _rotated(names: list[str]) -> list[str]:
+    never_graded = [n for n in names if n not in _DRIVER_GREEN]
+    already_green = [
+        n for n in names if n in _DRIVER_GREEN and n not in _CANARIES
+    ]
+    return never_graded + _CANARIES + already_green
+
+
+_ORDER = _rotated(list(_ALL_QUERIES))
+QUERIES = {n: _ALL_QUERIES[n] for n in _ORDER}
+ORACLES = {n: _ALL_ORACLES[n] for n in _ORDER if n in _ALL_ORACLES}
 
 
 def entry(spark: SparkSession) -> DataFrame:
