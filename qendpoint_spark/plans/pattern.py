@@ -303,6 +303,9 @@ def join_bindings(
     if not on:
         if how == "left_anti":
             return left  # never compatible -> nothing removed
+        if how == "left_semi":
+            # every pair is compatible: keep left rows iff right has any
+            return left.join(right, F.lit(True), "left_semi")
         if how == "left":
             # disjoint OPTIONAL: every pair is compatible; an empty
             # right side still keeps the left rows (NULL-extended)

@@ -30,9 +30,10 @@ strings (predicate IDs are their own namespace).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from itertools import combinations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qendpoint_spark.dictionary.builder import (
@@ -95,6 +96,10 @@ _LIT_VALUE_RE = r'(?s)^"(.*)"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$'
 class _BFrame:
     df: DataFrame
     kinds: dict  # var name -> kind
+    # variables whose column MAY hold NULL (bound only inside an
+    # OPTIONAL, or padded by a UNION branch) — joins on these need
+    # SPARQL compatibility semantics, not plain equality
+    maybe_null: set = field(default_factory=set)
 
 
 def _is_true(bf: _BFrame) -> bool:
@@ -466,7 +471,9 @@ class SparqlEngine:
             if negated == _is_true(sub):
                 return _BFrame(acc.df.limit(0), acc.kinds)
             return acc
-        return self._join(acc, sub, "left_anti" if negated else "left_semi")
+        return self._join(
+            acc, sub, "left_anti" if negated else "left_semi", exists=True
+        )
 
     def _compile_graph_group(self, gg: GraphGroup) -> _BFrame:
         """GRAPH (iri|var) { triple patterns [FILTER...] } over the
@@ -578,7 +585,11 @@ class SparqlEngine:
                     )
             df = df.select(*sorted(kinds))
             out = df if out is None else out.unionByName(df)
-        return _BFrame(out, kinds)
+        mn = set().union(*(b.maybe_null for b in branches))
+        for v in kinds:  # a var absent from any branch is NULL there
+            if any(v not in b.kinds for b in branches):
+                mn.add(v)
+        return _BFrame(out, kinds, {v for v in mn if v in kinds})
 
     def _values_frame(self, vc: ValuesClause, acc: _BFrame) -> _BFrame:
         """Inline data: resolve each term in the ID space its variable
@@ -668,8 +679,11 @@ class SparqlEngine:
 
     def _compile_path_pattern(self, tp: TriplePattern, bn: list) -> _BFrame:
         if isinstance(tp.p, PathRepeat) and tp.p.min_hops == 0:
-            # `p*` = `p+` UNION zero-length paths over the incident
-            # nodes. The zero part binds BOTH endpoints to the same
+            # `p*` = `p+` UNION zero-length paths. Per SPARQL 1.1 (and
+            # RDF4J's ZeroLengthPathIteration) the zero-length path
+            # matches EVERY node of the graph — all subjects and all
+            # objects — not just nodes incident to the inner path's
+            # edges. The zero part binds BOTH endpoints to the same
             # node, whose id may come from either endpoint's ID space —
             # built as two single-role frames so _union reconciles the
             # spaces (decoding to terms only if the roles conflict).
@@ -683,19 +697,18 @@ class SparqlEngine:
                 raise NotImplementedError(
                     "zero-or-more paths need variable endpoints"
                 )
-            inner, sr, dr = self._compile_path(tp.p.inner)
             sv, ov = tp.s.name, tp.o.name
             zero_src = _BFrame(
-                inner.select(
-                    F.col("src").alias(sv), F.col("src").alias(ov)
+                self.spo.select(
+                    F.col("s").alias(sv), F.col("s").alias(ov)
                 ).distinct(),
-                {sv: sr, ov: sr},
+                {sv: "s", ov: "s"},
             )
             zero_dst = _BFrame(
-                inner.select(
-                    F.col("dst").alias(sv), F.col("dst").alias(ov)
+                self.ops.select(
+                    F.col("o").alias(sv), F.col("o").alias(ov)
                 ).distinct(),
-                {sv: dr, ov: dr},
+                {sv: "o", ov: "o"},
             )
             u = self._union([plus, zero_src, zero_dst])
             u.df = u.df.dropDuplicates(sorted(u.kinds))
@@ -736,7 +749,9 @@ class SparqlEngine:
 
     # -- binding joins ---------------------------------------------------
 
-    def _join(self, a: _BFrame, b: _BFrame, how: str) -> _BFrame:
+    def _join(
+        self, a: _BFrame, b: _BFrame, how: str, exists: bool = False
+    ) -> _BFrame:
         # hidden decode columns must never act as join keys
         a.df = _drop_aux(a.df)
         b.df = _drop_aux(b.df)
@@ -761,10 +776,24 @@ class SparqlEngine:
                     self._to_term(b, v)
         roles_a = {v: k for v, k in a.kinds.items() if k in _ID_KINDS}
         roles_b = {v: k for v, k in b.kinds.items() if k in _ID_KINDS}
-        df = join_bindings(a.df, b.df, how, roles_a, roles_b, self.n_shared)
+        nullable_shared = sorted(set(on) & a.maybe_null)
+        if set(on) & b.maybe_null:
+            raise NotImplementedError(
+                f"shared variable(s) {sorted(set(on) & b.maybe_null)} may "
+                "be unbound on the RIGHT operand of a join — two-sided "
+                "compatibility joins are not supported"
+            )
+        if nullable_shared:
+            df = self._compat_join(
+                a.df, b.df, how, roles_a, roles_b, nullable_shared, set(on),
+                exists=exists,
+            )
+        else:
+            df = join_bindings(a.df, b.df, how, roles_a, roles_b,
+                               self.n_shared)
         df = _drop_aux(df)
         if how in ("left_anti", "left_semi"):
-            return _BFrame(df, dict(a.kinds))
+            return _BFrame(df, dict(a.kinds), set(a.maybe_null))
         kinds = dict(a.kinds)
         for v, kb in b.kinds.items():
             if v in kinds:
@@ -774,7 +803,91 @@ class SparqlEngine:
             else:
                 kinds[v] = kb
         kinds = {v: k for v, k in kinds.items() if not v.startswith("__aux")}
-        return _BFrame(df, kinds)
+        mn = set(a.maybe_null) | set(b.maybe_null)
+        if how == "left":
+            # OPTIONAL: right-only vars are NULL on unmatched rows, and
+            # a possibly-null shared var stays possibly-null (no match
+            # leaves it unbound)
+            mn |= set(b.kinds) - set(a.kinds)
+        else:
+            # inner join: shared vars come out bound (the compat join
+            # fills the null side from the right operand)
+            mn -= set(on)
+        return _BFrame(df, kinds, {v for v in mn if v in kinds})
+
+    def _compat_join(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        how: str,
+        roles_a: dict,
+        roles_b: dict,
+        nullable_shared: list,
+        on: set,
+        exists: bool = False,
+    ) -> DataFrame:
+        """SPARQL compatibility join when some shared variables may be
+        unbound (NULL) on the left operand (post-OPTIONAL bindings,
+        UNION padding).
+
+        SPARQL solution compatibility (SPARQL 1.1 §18.3) treats an
+        unbound variable as compatible with ANY binding, so a plain
+        equi-join would silently drop those rows. A single null-tolerant
+        OR-condition would force a nested-loop join, so instead the left
+        frame is split by its null-mask over the possibly-null shared
+        variables: each of the 2^k sub-frames equi-joins on the shared
+        variables it actually binds (every sub-join stays hash-joinable
+        and broadcast-eligible), and the union of sub-results is exact.
+        k is capped — it is the count of OPTIONAL-bound variables later
+        re-joined, ≥4 of which in one join is pathological.
+
+        MINUS additionally requires a variable bound in BOTH solutions
+        (SPARQL 1.1 §8.3): the all-null mask removes nothing when it
+        covers every shared variable.
+        """
+        if len(nullable_shared) > 3:
+            raise NotImplementedError(
+                f"{len(nullable_shared)} possibly-unbound shared "
+                "variables in one join (2^k split would explode)"
+            )
+        out = None
+        for r in range(len(nullable_shared) + 1):
+            for mask_t in combinations(nullable_shared, r):
+                mask = set(mask_t)
+                sub = left
+                for v in nullable_shared:
+                    sub = sub.filter(
+                        F.col(v).isNull() if v in mask else
+                        F.col(v).isNotNull()
+                    )
+                # hide the null columns from the join: rename, join on
+                # the remaining shared vars, then restore/merge
+                for v in mask:
+                    sub = sub.withColumnRenamed(v, f"__mn_{v}")
+                sub_roles = {
+                    v: k for v, k in roles_a.items() if v not in mask
+                }
+                if how == "left_anti" and exists and mask >= on:
+                    # NOT EXISTS with every shared var unbound: the
+                    # unbound row is compatible with ANY match, so it
+                    # is dropped iff the subgroup matches at all —
+                    # unlike MINUS, which keeps it (no common bound
+                    # variable, SPARQL 1.1 §8.3)
+                    joined = sub.join(right, F.lit(True), "left_anti")
+                else:
+                    joined = join_bindings(
+                        sub, right, how, sub_roles, roles_b, self.n_shared
+                    )
+                if how in ("left_anti", "left_semi"):
+                    for v in mask:
+                        joined = joined.withColumnRenamed(f"__mn_{v}", v)
+                else:
+                    # the shared var's value comes from the right side
+                    # (left is NULL in this mask by construction)
+                    for v in mask:
+                        joined = joined.drop(f"__mn_{v}")
+                out = joined if out is None else out.unionByName(joined)
+        return out
 
     def _to_term(self, bf: _BFrame, v: str) -> None:
         """Replace a variable's ID column with its lexical term string
@@ -857,20 +970,31 @@ class SparqlEngine:
             }[op], "num"
         # comparisons: numeric when either side is numeric, else string
         numeric = "num" in (lt, rt) or "val" in (lt, rt)
+
+        def _cmp(a: Column, b: Column) -> Column:
+            return {
+                "=": a == b, "!=": a != b, "<": a < b,
+                ">": a > b, "<=": a <= b, ">=": a >= b,
+            }[op]
+
         if numeric:
-            lc, rc = _as_num(lc, lt), _as_num(rc, rt)
-        else:
-            # term-vs-plain-string equality is RDF term equality: wrap
-            # the plain string as a plain-literal lexical form
-            if lt == "term" and rt == "str":
-                rc = F.concat(F.lit('"'), rc, F.lit('"'))
-            elif rt == "term" and lt == "str":
-                lc = F.concat(F.lit('"'), lc, F.lit('"'))
-        cmp = {
-            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
-            ">": lc > rc, "<=": lc <= rc, ">=": lc >= rc,
-        }[op]
-        return cmp, "bool"
+            return _cmp(_as_num(lc, lt), _as_num(rc, rt)), "bool"
+        if lt == rt == "term":
+            # two non-constant operands (e.g. FILTER(?a < ?b)): RDF4J
+            # dispatches on value type — compare numerically per-row
+            # when BOTH lexical forms are numeric literals, else fall
+            # back to lexical-form comparison (IRIs, dates, strings).
+            ln, rn = _as_num(lc, lt), _as_num(rc, rt)
+            return F.when(
+                ln.isNotNull() & rn.isNotNull(), _cmp(ln, rn)
+            ).otherwise(_cmp(lc, rc)), "bool"
+        # term-vs-plain-string equality is RDF term equality: wrap
+        # the plain string as a plain-literal lexical form
+        if lt == "term" and rt == "str":
+            rc = F.concat(F.lit('"'), rc, F.lit('"'))
+        elif rt == "term" and lt == "str":
+            lc = F.concat(F.lit('"'), lc, F.lit('"'))
+        return _cmp(lc, rc), "bool"
 
     def _func(self, node: FuncCall, bf: _BFrame) -> tuple[Column, str]:
         name = node.name
@@ -973,32 +1097,67 @@ class SparqlEngine:
                 self._to_term(bf, c)
             elif c not in bf.kinds and c not in bf.df.columns:
                 bf.df = bf.df.withColumn(c, F.lit(None).cast("string"))
-        # sort keys become named columns BEFORE projection so ORDER BY
-        # over non-projected variables / expressions still works; with
-        # DISTINCT the keys are functionally dependent on the projected
-        # row in every supported query, so including them in the dedup
-        # key is exact
+        df = self._order_distinct_slice(bf, q, out_cols)
+        return df.select(*out_cols)
+
+    def _order_distinct_slice(
+        self, bf: _BFrame, q: Query, out_cols: list[str]
+    ) -> DataFrame:
+        """Shared ORDER BY / DISTINCT / OFFSET / LIMIT tail.
+
+        Sort keys become named columns BEFORE projection so ORDER BY
+        over non-projected variables / expressions still works. Each
+        ORDER BY expression expands to a (category, numeric, lexical)
+        key triple approximating the SPARQL value order the way RDF4J's
+        ValueComparator does: unbound < blank node < IRI < literal,
+        numeric literals compared by value, everything else by lexical
+        form. DISTINCT dedups on the PROJECTED columns only — the sort
+        keys pick a deterministic representative per projected row via
+        row_number, so a sort key that is not functionally dependent on
+        the projection cannot leak duplicates.
+        """
         sort_cols: list[tuple[str, bool]] = []
         for i, (expr, asc) in enumerate(q.order_by):
-            col, _ = self._expr(expr, bf)
-            name = f"__ob_{i}"
-            bf.df = bf.df.withColumn(name, col)
-            sort_cols.append((name, asc))
-        df = bf.df
-        if q.distinct:
-            df = df.dropDuplicates(out_cols + [n for n, _ in sort_cols])
-        if sort_cols:
-            df = df.sort(
-                *[
-                    F.col(n).asc() if asc else F.col(n).desc()
-                    for n, asc in sort_cols
-                ]
+            col, t = self._expr(expr, bf)
+            s = col.cast("string")
+            num = _as_num(col, t)
+            if t in ("num", "val", "bool"):
+                cat = F.when(col.isNull(), F.lit(0)).otherwise(F.lit(3))
+            else:
+                cat = (
+                    F.when(col.isNull(), F.lit(0))
+                    .when(s.startswith("_:"), F.lit(1))
+                    .when(s.startswith('"'), F.lit(3))
+                    .otherwise(F.lit(2))
+                )
+            kname, nname, sname = f"__ob_{i}_k", f"__ob_{i}_n", f"__ob_{i}_s"
+            bf.df = (
+                bf.df.withColumn(kname, cat)
+                .withColumn(nname, num)
+                .withColumn(sname, s)
             )
+            sort_cols += [(kname, asc), (nname, asc), (sname, asc)]
+        df = bf.df
+        order_exprs = [
+            F.col(n).asc() if asc else F.col(n).desc() for n, asc in sort_cols
+        ]
+        if q.distinct:
+            if sort_cols:
+                w = Window.partitionBy(*out_cols).orderBy(*order_exprs)
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                df = df.dropDuplicates(out_cols)
+        if sort_cols:
+            df = df.sort(*order_exprs)
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:
             df = df.limit(q.limit)
-        return df.select(*out_cols)
+        return df
 
     def _subframe(self, q: Query) -> _BFrame:
         """Nested `{ SELECT ... }`: evaluated like a top-level SELECT
@@ -1012,27 +1171,12 @@ class SparqlEngine:
         names = [
             p.name if isinstance(p, Var) else p.alias for p in q.projection
         ] or list(bf.kinds)
-        sort_cols: list[tuple[str, bool]] = []
-        for i, (expr, asc) in enumerate(q.order_by):
-            col, _ = self._expr(expr, bf)
-            n = f"__ob_{i}"
-            bf.df = bf.df.withColumn(n, col)
-            sort_cols.append((n, asc))
-        df = bf.df
-        if q.distinct:
-            df = df.dropDuplicates(names + [n for n, _ in sort_cols])
-        if sort_cols:
-            df = df.sort(
-                *[
-                    F.col(n).asc() if asc else F.col(n).desc()
-                    for n, asc in sort_cols
-                ]
-            )
-        if q.offset:
-            df = df.offset(q.offset)
-        if q.limit is not None:
-            df = df.limit(q.limit)
-        return _BFrame(df.select(*names), {v: bf.kinds[v] for v in names})
+        df = self._order_distinct_slice(bf, q, names)
+        return _BFrame(
+            df.select(*names),
+            {v: bf.kinds[v] for v in names},
+            {v for v in bf.maybe_null if v in names},
+        )
 
     def _aggregate(self, bf: _BFrame, q: Query) -> _BFrame:
         group_vars = [v.name for v in q.group_by]
@@ -1094,7 +1238,9 @@ class SparqlEngine:
             gdf = bf.df.agg(*exprs)
         kinds = {v: bf.kinds[v] for v in group_vars}
         kinds.update(agg_kinds)
-        out = _BFrame(gdf, kinds)
+        out = _BFrame(
+            gdf, kinds, {v for v in bf.maybe_null if v in group_vars}
+        )
         if q.having is not None:
             col, _ = self._expr(q.having, out)
             out.df = out.df.filter(col.cast("boolean"))

@@ -20,7 +20,18 @@ with every other stage.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _digest(text: str) -> str:
+    """Deterministic update-script fingerprint.  Python's hash() is
+    randomized per process (PYTHONHASHSEED), which would give the same
+    update a different lineage identity every run and defeat the
+    catalog's resume/idempotent-skip semantics."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+
 
 from qendpoint_spark.sparql.parser import (
     DeleteData,
@@ -127,7 +138,7 @@ def apply_update(
             spark,
             catalog,
             batch,
-            batch_fingerprint=f"sparql-update:{hash(text) & 0xFFFFFFFF}",
+            batch_fingerprint=f"sparql-update:{_digest(text)}",
             num_partitions=num_partitions,
         )
     from qendpoint_spark.pipeline import run_pipeline
@@ -139,7 +150,7 @@ def apply_update(
         catalog,
         source_df=new,
         source_kind="triples",
-        source_fingerprint=f"sparql-update:{hash(text) & 0xFFFFFFFF}",
+        source_fingerprint=f"sparql-update:{_digest(text)}",
         num_partitions=num_partitions,
         force=True,
     )

@@ -56,6 +56,8 @@ def _quad_engine(spark: SparkSession, sf_dir: str):
         encq = encode_triples(base, qdict).localCheckpoint(eager=True)
         tri = encq.drop("g").dropDuplicates(["s", "p", "o"])
         _ENGINES[key] = SparqlEngine(tri, qdict, quads=encq)
+        if len(_ENGINES) > 8:
+            _ENGINES.pop(next(iter(_ENGINES)))
     return _ENGINES[key]
 
 

@@ -72,10 +72,27 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         ok_vals = ok_cols and multiset(srows, scols) == multiset(orows, ocols)
+        # Type-coherence probe: the driver's value hash is type-sensitive,
+        # so a Spark bigint meeting a DuckDB DECIMAL/HUGEINT (or a naive
+        # vs tz-aware timestamp) can hash-mismatch even when the loose
+        # multiset above agrees.  Surface Python-type pairs that differ.
+        type_warn = []
+        if ok_cols and srows and orows:
+            sidx = {c: i for i, c in enumerate(scols)}
+            oidx = {c: i for i, c in enumerate(ocols)}
+            srow, orow = srows[0], orows[0]
+            for c in scols:
+                st = type(srow[sidx[c]]).__name__
+                ot = type(orow[oidx[c]]).__name__
+                if st != ot and {st, ot} != {"NoneType", st} | {"NoneType", ot}:
+                    if "NoneType" in (st, ot):
+                        continue
+                    type_warn.append(f"{c}:{st}/{ot}")
         status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
         print(
             f"{name:28s} {status} rows={len(srows):8d}/{len(orows):8d} "
             f"cols={ok_cols} vals={ok_vals}  spark={t_spark:5.1f}s duck={t_duck:4.1f}s"
+            + (f"  TYPES[{' '.join(type_warn)}]" if type_warn else "")
         )
         if status == "FAIL":
             failed.append(name)

@@ -225,10 +225,12 @@ def test_engine_plus_and_star_paths(chain_engine):
         ("e1", "e2"), ("e1", "e3"), ("e2", "e3")
     ]
     star = chain_engine.query("SELECT ?a ?b WHERE { ?a <n>* ?b }")
+    # SPARQL 1.1: the zero-length path matches EVERY node of the graph
+    # (all subjects and objects), not just nodes on an <n>-edge
+    nodes = {"d1", "d2", "e", "e1", "e2", "e3", "n"}
     assert set(_rows(star)) == {
         ("e1", "e2"), ("e1", "e3"), ("e2", "e3"),
-        ("e1", "e1"), ("e2", "e2"), ("e3", "e3"),
-    }
+    } | {(x, x) for x in nodes}
 
 
 def test_engine_agg_group_having(chain_engine):
@@ -559,3 +561,112 @@ def test_engine_term_tests(chain_engine):
         "SELECT ?s WHERE { ?s ?pr ?o . FILTER(isLiteral(?o)) }"
     )
     assert _rows(out) == []
+
+
+# ------------------------------------------- round-4 semantics fixes
+
+
+@pytest.fixture(scope="module")
+def num_engine(spark):
+    """Products with numeric prices as typed literals, for value-order
+    comparisons between two BOUND operands (RDF4J dispatches on value
+    type; lexical comparison would say "10" < "9")."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("a", "price", f'"9"^^<{xsd_int}>'),
+        ("b", "price", f'"10"^^<{xsd_int}>'),
+        ("c", "price", f'"100"^^<{xsd_int}>'),
+        ("a", "cost", f'"50"^^<{xsd_int}>'),
+        ("b", "cost", f'"5"^^<{xsd_int}>'),
+        ("c", "cost", f'"100"^^<{xsd_int}>'),
+        ("a", "tag", '"x"'),
+        ("b", "tag", '"y"'),
+    ]
+    tri = spark.createDataFrame(rows, "s string, p string, o string")
+    d = build_dictionary(tri).cache()
+    return SparqlEngine(encode_triples(tri, d).cache(), d)
+
+
+def test_engine_var_var_numeric_comparison(num_engine):
+    # "10" < "9" lexically but 10 > 9 numerically: value comparison wins
+    out = num_engine.query(
+        "SELECT ?s WHERE { ?s <price> ?p . ?s <cost> ?c . "
+        "FILTER(?p < ?c) }"
+    )
+    assert _rows(out) == [("a",)]  # 9 < 50; b: 10 > 5; c: 100 = 100
+    out = num_engine.query(
+        "SELECT ?s WHERE { ?s <price> ?p . ?s <cost> ?c . "
+        "FILTER(?p >= ?c) }"
+    )
+    assert _rows(out) == [("b",), ("c",)]
+
+
+def test_engine_order_by_numeric_value(num_engine):
+    out = num_engine.query(
+        "SELECT ?s WHERE { ?s <price> ?p } ORDER BY ?p"
+    )
+    assert [r[0] for r in out.collect()] == ["a", "b", "c"]  # 9,10,100
+    out = num_engine.query(
+        "SELECT ?s WHERE { ?s <price> ?p } ORDER BY DESC(?p)"
+    )
+    assert [r[0] for r in out.collect()] == ["c", "b", "a"]
+
+
+def test_engine_distinct_with_independent_order_key(num_engine):
+    # ?s repeats per (price, cost) pair; DISTINCT must dedup on the
+    # PROJECTED column only even though the sort key ?p is not
+    # functionally dependent on it in general
+    out = num_engine.query(
+        "SELECT DISTINCT ?s WHERE { ?s ?pr ?o } ORDER BY ?o"
+    )
+    rows = [r[0] for r in out.collect()]
+    assert sorted(rows) == ["a", "b", "c"]
+    assert len(rows) == 3
+
+
+def test_engine_compat_join_after_optional(chain_engine):
+    # ?x is bound only inside OPTIONAL, then re-joined by EXISTS: the
+    # unbound rows must stay compatible (kept), not be equi-dropped
+    out = chain_engine.query(
+        "SELECT ?s ?x WHERE { ?s <n> ?o . "
+        "OPTIONAL { ?s <t> ?x } "
+        "FILTER NOT EXISTS { ?x <n> ?z } }"
+    )
+    # e1-n->e2 (x unbound: e1 has no t-edge... e3-t->e1 means e3 binds)
+    # chain: e1<n>e2, e2<n>e3; t-edges: e3->e1, n->e1. So OPTIONAL binds
+    # nothing for s=e1/e2 -> ?x NULL, compatible with every ?x, but NOT
+    # EXISTS { ?x <n> ?z } with ?x unbound asks "no n-edge exists at
+    # all" -> false (n-edges exist) -> both rows dropped... unless ?x
+    # stays NULL-compatible. Pin the compat-join behavior: NULL ?x means
+    # the EXISTS group is just { ?x <n> ?z } with ?x free -> matches ->
+    # NOT EXISTS removes the row. Bound-?x rows: none here.
+    assert _rows(out) == []
+
+
+def test_engine_minus_disjoint_after_optional(chain_engine):
+    # MINUS with the only shared var possibly-NULL: rows whose ?x is
+    # unbound share NO bound variable with the MINUS group -> kept
+    # (SPARQL 1.1 §8.3 requires a common bound variable for removal)
+    out = chain_engine.query(
+        "SELECT ?s ?x WHERE { ?s <n> ?o . "
+        "OPTIONAL { ?s <t> ?x } "
+        "MINUS { ?x <n> ?z } }"
+    )
+    # OPTIONAL binds ?x for no s in {e1,e2} -> both rows ?x=NULL ->
+    # MINUS shares no bound var -> both kept
+    assert _rows(out) == [("e1", None), ("e2", None)]
+
+
+def test_engine_optional_then_inner_join_compat(chain_engine):
+    # join a possibly-null ?x against a pattern binding ?x: the NULL
+    # row must merge with EVERY ?x (compatibility), bound rows equi-join
+    out = chain_engine.query(
+        "SELECT ?s ?x WHERE { "
+        "{ SELECT ?s ?x WHERE { ?s <n> ?o OPTIONAL { ?s <t> ?x } } } "
+        "?x <t> ?e1 . }"
+    )
+    # inner: (e1,NULL),(e2,NULL); pattern ?x <t> ?e1 binds x in {e3,n}
+    # NULL rows merge with both -> (e1,e3),(e1,n),(e2,e3),(e2,n)
+    assert _rows(out) == [
+        ("e1", "e3"), ("e1", "n"), ("e2", "e3"), ("e2", "n")
+    ]
