@@ -66,6 +66,7 @@ from qendpoint_spark.sparql.parser import (
     OptionalGroup,
     PathAlt,
     PathInv,
+    PathNeg,
     PathPred,
     PathRepeat,
     PathSeq,
@@ -603,11 +604,14 @@ class SparqlEngine:
                 k = "term"
             kinds[n] = "so" if k == "so" else k
         rows = []
+        undef_vars: set[str] = set()
         for row in vc.rows:
             out_row = []
             for n, cell in zip(names, row):
-                if cell is None:
-                    raise NotImplementedError("UNDEF in VALUES")
+                if cell is None:  # UNDEF: this var unconstrained here
+                    undef_vars.add(n)
+                    out_row.append(None)
+                    continue
                 t = cell.as_term() if isinstance(cell, NumLit) else cell
                 if kinds[n] == "term":
                     out_row.append(t.lex)
@@ -617,7 +621,7 @@ class SparqlEngine:
         schema = ", ".join(
             f"{n} {'string' if kinds[n] == 'term' else 'long'}" for n in names
         )
-        return _BFrame(spark.createDataFrame(rows, schema), kinds)
+        return _BFrame(spark.createDataFrame(rows, schema), kinds, undef_vars)
 
     # -- property paths --------------------------------------------------
 
@@ -637,6 +641,37 @@ class SparqlEngine:
                 ),
                 "s",
                 "o",
+            )
+        if isinstance(node, PathNeg):
+            # filtered statement scan: all edges except the named
+            # predicates. The exclusion list is tiny (query text), so
+            # NOT IN folds into the scan filter — no join. Absent
+            # predicates resolve to -1 which excludes nothing.
+            if node.fwd and node.bwd:
+                raise NotImplementedError(
+                    "negated property sets mixing forward and inverse "
+                    "members (e.g. !(p|^q)) bind conflicting ID spaces"
+                )
+            if node.fwd:
+                ids = [self._const_id("p", iri) for iri in node.fwd]
+                edges = self.spo.filter(~F.col("p").isin(ids))
+                return (
+                    edges.select(
+                        F.col("s").alias("src"), F.col("o").alias("dst")
+                    ),
+                    "s",
+                    "o",
+                )
+            ids = [self._const_id("p", iri) for iri in node.bwd]
+            edges = self.ops.select("s", "p", "o").filter(
+                ~F.col("p").isin(ids)
+            )
+            return (
+                edges.select(
+                    F.col("o").alias("src"), F.col("s").alias("dst")
+                ),
+                "o",
+                "s",
             )
         if isinstance(node, PathInv):
             df, sr, dr = self._compile_path(node.inner)
@@ -774,6 +809,15 @@ class SparqlEngine:
                     self._to_term(a, v)
                 if id_b:
                     self._to_term(b, v)
+        if (
+            how == "inner"
+            and set(on) & b.maybe_null
+            and not (set(on) & a.maybe_null)
+        ):
+            # inner joins are symmetric: flip so the possibly-null side
+            # is on the left, where the compat split operates (the
+            # common case is VALUES ... UNDEF joined into a group)
+            a, b = b, a
         roles_a = {v: k for v, k in a.kinds.items() if k in _ID_KINDS}
         roles_b = {v: k for v, k in b.kinds.items() if k in _ID_KINDS}
         nullable_shared = sorted(set(on) & a.maybe_null)
@@ -1367,6 +1411,9 @@ def _collect_consts(q: Query) -> set[tuple[str, str]]:
                 path(a)
         elif isinstance(node, PathRepeat):
             path(node.inner)
+        elif isinstance(node, PathNeg):
+            for iri in node.fwd + node.bwd:
+                out.add(("p", iri))
 
     def group(g: GroupGraphPattern):
         for el in g.elements:

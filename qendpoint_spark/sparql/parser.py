@@ -83,8 +83,19 @@ class PathAlt:
 @dataclass(frozen=True)
 class PathRepeat:
     inner: object
-    min_hops: int  # 0 (for *) or 1 (for +) or m of {m,n}
+    min_hops: int  # 0 (for *) or 1 (for ?/+) or m of {m,n}
     max_hops: int | None  # None = unbounded
+
+
+@dataclass(frozen=True)
+class PathNeg:
+    """Negated property set `!iri` / `!(iri1|^iri2|...)` (SPARQL 1.1
+    §18.4): forward edges whose predicate is NOT in `fwd` (present iff
+    the set named a forward IRI), unioned with inverse edges whose
+    predicate is NOT in `bwd` (present iff the set named a ^IRI)."""
+
+    fwd: tuple  # excluded forward-direction predicate IRIs
+    bwd: tuple  # excluded inverse-direction predicate IRIs
 
 
 # graph patterns ---------------------------------------------------------
@@ -252,7 +263,7 @@ _TOKEN_RE = re.compile(
   | (?P<BLANK>_:[A-Za-z_0-9]+)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9])?|[A-Za-z_][A-Za-z_0-9.-]*?:)
   | (?P<KEYWORD>[A-Za-z][A-Za-z_0-9]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,/|^+*!<>=\-])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,/|^+*!<>=\-?])
     """,
     re.VERBOSE,
 )
@@ -739,6 +750,12 @@ class _Parser:
         elif self.at_op("*"):
             self.next()
             node = PathRepeat(node, 0, None)
+        elif self.at_op("?"):
+            # zero-or-one; a `?name` token lexes as VAR, so a bare `?`
+            # here is unambiguously the path modifier (the W3C grammar
+            # resolves the same ambiguity the same way)
+            self.next()
+            node = PathRepeat(node, 0, 1)
         elif self.at_op("{"):
             self.next()
             lo = int(self.next().text)
@@ -753,6 +770,9 @@ class _Parser:
         return PathInv(node) if inverse else node
 
     def parse_path_primary(self):
+        if self.at_op("!"):
+            self.next()
+            return self.parse_negated_property_set()
         if self.at_op("("):
             self.next()
             alts = [self.parse_path_seq()]
@@ -770,6 +790,39 @@ class _Parser:
         if t.kind == "PNAME":
             return PathPred(self._expand_pname(self.next().text))
         self.err("expected a predicate IRI in property path")
+
+    def parse_negated_property_set(self) -> PathNeg:
+        """After the leading `!`: a single (possibly inverted) IRI or a
+        parenthesized `|`-list of them (SPARQL 1.1 PathNegatedPropertySet)."""
+
+        def one() -> tuple[str, bool]:
+            inv = False
+            if self.at_op("^"):
+                self.next()
+                inv = True
+            t = self.peek()
+            if t.kind == "KEYWORD" and t.text == "a":
+                self.next()
+                return RDF_TYPE, inv
+            if t.kind == "IRIREF":
+                return self.next().text[1:-1], inv
+            if t.kind == "PNAME":
+                return self._expand_pname(self.next().text), inv
+            self.err("expected an IRI in negated property set")
+
+        items: list[tuple[str, bool]] = []
+        if self.at_op("("):
+            self.next()
+            items.append(one())
+            while self.at_op("|"):
+                self.next()
+                items.append(one())
+            self.eat_op(")")
+        else:
+            items.append(one())
+        fwd = tuple(iri for iri, inv in items if not inv)
+        bwd = tuple(iri for iri, inv in items if inv)
+        return PathNeg(fwd, bwd)
 
     # -- terms -----------------------------------------------------------
 

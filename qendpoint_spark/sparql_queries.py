@@ -239,6 +239,37 @@ SPARQL_QUERIES = {
     ),
     # batch SPARQL UPDATE folded over the triple state
     "sparql_update_apply": _sparql_update_apply,
+    # zero-or-one path (`?` modifier): provenance edge or self — the
+    # zero-length half matches EVERY graph node (SPARQL 1.1 §18.4)
+    "sparql_path_zero_or_one": _q(
+        _P + "SELECT ?a ?b WHERE { ?a p:provenance? ?b }"
+    ),
+    # negated property set: every edge EXCEPT mentions/provenance,
+    # multiset semantics (one solution per matching triple)
+    "sparql_negated_pset": _q(
+        _P + "SELECT ?doc ?v WHERE { ?doc !(p:mentions|p:provenance) ?v }"
+    ),
+    # VALUES with UNDEF: the unconstrained row joins every solution
+    # (solution-compatibility, not equality)
+    "sparql_values_undef": _q(
+        _P
+        + "SELECT ?doc ?lang WHERE { ?doc p:lang ?lang . "
+        'VALUES (?lang) { ("en"@en) (UNDEF) } }'
+    ),
+    # ORDER BY over a typed numeric literal: value order (9 < 10),
+    # with a lexical tiebreak so LIMIT is deterministic
+    "sparql_order_numeric": _q(
+        _P
+        + "SELECT ?doc ?nc WHERE { ?doc p:nchars ?nc } "
+        "ORDER BY DESC(?nc) DESC(?doc) LIMIT 5"
+    ),
+    # DISTINCT whose ORDER BY key is NOT functionally dependent on the
+    # projection: dedup must act on the projected column only
+    "sparql_distinct_indep_order": _q(
+        _P
+        + "SELECT DISTINCT ?ent WHERE { ?doc p:mentions ?ent } "
+        "ORDER BY ?doc"
+    ),
 }
 
 _QUADS_CTE = """
@@ -408,5 +439,37 @@ FROM triples WHERE p = '{_MENTIONS}'
 UNION
 SELECT 'http://example.org/meta', 'http://example.org/prop/version',
        '"v2"'
+""",
+    "sparql_path_zero_or_one": _PRE
+    + f"""
+SELECT a, b FROM (
+  SELECT x AS a, x AS b FROM (
+    SELECT s AS x FROM triples UNION SELECT o AS x FROM triples
+  )
+  UNION
+  SELECT s AS a, o AS b FROM triples WHERE p = '{_PROV}'
+)
+""",
+    "sparql_negated_pset": _PRE
+    + f"""
+SELECT s AS doc, o AS v FROM triples
+WHERE p NOT IN ('{_MENTIONS}', '{_PROV}')
+""",
+    "sparql_values_undef": _PRE
+    + f"""
+SELECT s AS doc, o AS lang FROM triples
+WHERE p = '{_LANG}' AND o = '"en"@en'
+UNION ALL
+SELECT s AS doc, o AS lang FROM triples WHERE p = '{_LANG}'
+""",
+    "sparql_order_numeric": _PRE
+    + f"""
+SELECT s AS doc, o AS nc FROM triples WHERE p = '{_NCHARS}'
+ORDER BY CAST(regexp_extract(o, '^"([^"]*)"', 1) AS DOUBLE) DESC, s DESC
+LIMIT 5
+""",
+    "sparql_distinct_indep_order": _PRE
+    + f"""
+SELECT DISTINCT o AS ent FROM triples WHERE p = '{_MENTIONS}'
 """,
 }

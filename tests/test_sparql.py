@@ -670,3 +670,68 @@ def test_engine_optional_then_inner_join_compat(chain_engine):
     assert _rows(out) == [
         ("e1", "e3"), ("e1", "n"), ("e2", "e3"), ("e2", "n")
     ]
+
+
+def test_parser_zero_or_one_and_nps():
+    from qendpoint_spark.sparql.parser import PathNeg
+
+    q = parse_query("SELECT ?a ?b WHERE { ?a <http://ex/p>? ?b }")
+    p = q.where.elements[0].p
+    assert isinstance(p, PathRepeat) and (p.min_hops, p.max_hops) == (0, 1)
+    q = parse_query("SELECT ?a WHERE { ?a !(<http://ex/p>|<http://ex/q>) ?b }")
+    p = q.where.elements[0].p
+    assert isinstance(p, PathNeg)
+    assert p.fwd == ("http://ex/p", "http://ex/q") and p.bwd == ()
+    q = parse_query("SELECT ?a WHERE { ?a !^<http://ex/p> ?b }")
+    p = q.where.elements[0].p
+    assert p.fwd == () and p.bwd == ("http://ex/p",)
+    q = parse_query(
+        "SELECT ?a WHERE { ?a !(<http://ex/p>|^<http://ex/q>) ?b }"
+    )  # mixed-direction set parses; the engine rejects it at compile
+    p = q.where.elements[0].p
+    assert p.fwd == ("http://ex/p",) and p.bwd == ("http://ex/q",)
+    # `?x` right after a path primary is a VARIABLE, not the modifier
+    q = parse_query("SELECT ?a WHERE { ?a <http://ex/p>?b . }")
+    assert q.where.elements[0].o == Var("b")
+
+
+def test_engine_zero_or_one_path(chain_engine):
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a <n>? ?b }")
+    nodes = {"d1", "d2", "e", "e1", "e2", "e3", "n"}
+    assert set(_rows(out)) == {
+        ("e1", "e2"), ("e2", "e3"),
+    } | {(x, x) for x in nodes}
+
+
+def test_engine_negated_property_set(chain_engine):
+    # all edges except <n>: the two m-edges and the two t-edges
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a !<n> ?b }")
+    assert _rows(out) == [
+        ("d1", "e"), ("d2", "e"), ("e3", "e1"), ("n", "e1")
+    ]
+    # all edges except m and t = just the n-chain
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a !(<m>|<t>) ?b }")
+    assert _rows(out) == [("e1", "e2"), ("e2", "e3")]
+    # inverse-only negated set: backwards over everything but ^t
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a !(^<m>|^<n>) ?b }")
+    assert _rows(out) == [("e1", "e3"), ("e1", "n")]
+    # excluding an unknown predicate excludes nothing
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a !<zzz> ?b }")
+    assert len(_rows(out)) == 6
+    # mixed forward/inverse members bind conflicting ID spaces: loud
+    with pytest.raises(NotImplementedError):
+        chain_engine.query("SELECT ?a WHERE { ?a !(<m>|^<t>) ?b }")
+
+
+def test_engine_values_undef(chain_engine):
+    out = chain_engine.query(
+        "SELECT ?s ?o WHERE { ?s <n> ?o . "
+        "VALUES (?s ?o) { (<e1> UNDEF) (UNDEF <e3>) } }"
+    )
+    # row1: s=e1, o free -> (e1,e2); row2: o=e3, s free -> (e2,e3)
+    assert _rows(out) == [("e1", "e2"), ("e2", "e3")]
+    # UNDEF-only column still joins (unconstrained on that var)
+    out = chain_engine.query(
+        "SELECT ?s WHERE { ?s <m> ?o . VALUES ?s { UNDEF } }"
+    )
+    assert _rows(out) == [("d1",), ("d2",)]
