@@ -119,6 +119,24 @@ def q_kg_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_triples(_enc(spark, sf_dir), _dict(spark, sf_dir)).distinct()
 
 
+def q_kg_hdt_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the encoded dataset to a real binary `.hdt` container
+    (HDTBase.saveToHDT framing: ControlInfo + four PFC sections +
+    SPO BitmapTriples, hdt/writer.py), parse it back (hdt/reader.py),
+    and decode the recovered tables to term triples — if any byte of
+    the container (CRC, VByte, front-coding, adjacency bitmaps) were
+    wrong, the decoded multiset would not hash-match the extraction
+    oracle."""
+    import tempfile
+
+    from qendpoint_spark.hdt import hdt_to_dataframes, write_hdt
+
+    path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_")
+    write_hdt(_dict(spark, sf_dir), _enc(spark, sf_dir), path)
+    d2, enc2 = hdt_to_dataframes(spark, path)
+    return decode_triples(enc2, d2).distinct()
+
+
 def q_kg_shared_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _dict(spark, sf_dir)
@@ -579,6 +597,7 @@ QUERIES = {
     "kg_predicate_index": q_kg_predicate_index,
     "kg_object_index": q_kg_object_index,
     "kg_decode_roundtrip": q_kg_decode_roundtrip,
+    "kg_hdt_file_roundtrip": q_kg_hdt_file_roundtrip,
     "kg_shared_section": q_kg_shared_section,
     "kg_cat_identity": q_kg_cat_identity,
     "kg_cat_incremental": q_kg_cat_incremental,
@@ -924,6 +943,7 @@ ORACLES = {
     SELECT o, count(*) AS n_triples, count(DISTINCT p) AS n_predicates
     FROM enc GROUP BY o""",
     "kg_decode_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_hdt_file_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_shared_section": _KG_PRELUDE
     + "SELECT term, id FROM dict WHERE section = 'SH'",
     "kg_cat_identity": _CAT_ORACLE,

@@ -26,7 +26,11 @@ from qendpoint_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--warehouse", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--warehouse")
+    src.add_argument(
+        "--hdt-file", help="decode a binary .hdt container directly"
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--single", action="store_true")
@@ -34,10 +38,15 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("hdt2rdf", cores=args.cpus)
-    catalog = Catalog(spark, args.warehouse)
-    lines = export_ntriples(
-        decode_triples(catalog.read("triples_spo"), catalog.read("dict_terms"))
-    )
+    if args.hdt_file:
+        from qendpoint_spark.hdt import hdt_to_dataframes
+
+        dict_terms, enc = hdt_to_dataframes(spark, args.hdt_file)
+    else:
+        catalog = Catalog(spark, args.warehouse)
+        dict_terms = catalog.read("dict_terms")
+        enc = catalog.read("triples_spo")
+    lines = export_ntriples(decode_triples(enc, dict_terms))
     if args.single:
         lines = lines.coalesce(1)
     w = lines.write.mode("overwrite")

@@ -25,6 +25,20 @@ def main() -> None:
     if len(sys.argv) != 2:
         print(__doc__, file=sys.stderr)
         sys.exit(2)
+    if sys.argv[1].endswith(".hdt"):
+        # binary container: print its embedded header + section counts
+        # without a Spark session (pure file parse)
+        from qendpoint_spark.hdt import read_hdt
+
+        parsed = read_hdt(sys.argv[1])
+        print("# header (embedded N-Triples)")
+        for line in parsed["header"].splitlines():
+            print("  " + line)
+        print("# sections")
+        for sec, terms in parsed["sections"].items():
+            print(f"  {sec:3s} {len(terms):>12,} terms")
+        print(f"# triples {len(parsed['triples']):,} (order SPO)")
+        return
     spark = get_spark("hdtinfo")
     catalog = Catalog(spark, sys.argv[1])
     if os.path.exists(catalog.table_path("header")):

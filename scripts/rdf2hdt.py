@@ -35,6 +35,12 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--pso", action="store_true")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--hdt-file",
+        default=None,
+        help="also emit a binary .hdt container (reference interchange "
+        "format: HDTBase.saveToHDT framing, PFC sections, BitmapTriples)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("rdf2hdt", cores=args.cpus)
@@ -52,6 +58,19 @@ def main() -> None:
     for s in report.stages:
         print(f"{s.name:18s} rows={s.rows:>12,} wall={s.wall_ms/1000:8.2f}s")
     print(f"total {report.wall_s:.2f}s  triples={report.n_triples:,}")
+    if args.hdt_file:
+        from qendpoint_spark.hdt import write_hdt
+
+        catalog = Catalog(spark, args.warehouse)
+        sizes = write_hdt(
+            catalog.read("dict_terms"),
+            catalog.read("triples_spo"),
+            args.hdt_file,
+        )
+        print(
+            f"wrote {args.hdt_file}: {sizes['total']:,} bytes "
+            f"(dict {sizes['dictionary']:,}, triples {sizes['triples']:,})"
+        )
     spark.stop()
 
 
