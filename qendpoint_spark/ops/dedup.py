@@ -20,6 +20,8 @@ All deterministic and ANSI-SQL-expressible for the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -27,6 +29,28 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 QUANT = 1000  # embedding fixed-point quantization
+
+
+def sized_num_hashes(n: int) -> int:
+    """MinHash signature width as a function of corpus size: 16 below
+    1M docs, 32 below 100M, 64 beyond. More hashes shrink the Jaccard
+    estimator's std error (sqrt(J(1-J)/H)) — at web scale the dup-pair
+    verdicts feed irreversible deletions, so the estimate must tighten
+    as the corpus (and the cost of a wrong merge) grows. Rows-per-band
+    stays 4, so bands = H/4 and the LSH S-curve threshold (1/b)^(1/4)
+    moves DOWN (more recall) at larger H; precision is restored by the
+    exact-verify stage (dedup_minhash_accuracy measures it)."""
+    if n < 1_000_000:
+        return NUM_HASHES
+    return 32 if n < 100_000_000 else 64
+
+
+def sized_simhash_bits(n: int) -> int:
+    """SimHash width as a function of corpus size: equal-fingerprint
+    blocking produces ~n^2/2^bits random collisions, so keeping
+    expected false candidates <= n needs bits >= log2(n); +8 bits of
+    margin, floor 16 (toy corpora), cap 64 (one long)."""
+    return min(64, max(16, int(math.ceil(math.log2(max(n, 2)))) + 8))
 
 
 def _hash8(col):
@@ -123,24 +147,35 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
-    """NUM_HASHES MinHash values as columns mh0..mh{n-1}: one aggregate
-    pass over the shingle table, h_i(s) = hash8(s || '#' || i)."""
+def minhash_signatures(
+    documents: DataFrame, k: int = 3, num_hashes: int | None = None
+) -> DataFrame:
+    """MinHash values as columns mh0..mh{H-1}: one aggregate pass over
+    the shingle table, h_i(s) = hash8(s || '#' || i). num_hashes=None
+    self-sizes via sized_num_hashes(|documents|); pass an explicit H to
+    pin (the oracle-backed gate rows pin 16)."""
+    if num_hashes is None:
+        num_hashes = sized_num_hashes(documents.count())
     sh = shingle_table(documents, k)
     aggs = [
         F.min(_hash8(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
-        for i in range(NUM_HASHES)
+        for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(documents: DataFrame, k: int = 3) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = 3, num_hashes: int | None = None
+) -> DataFrame:
     """LSH banding: band_hash = md5 of ROWS_PER_BAND signature values;
     candidate pairs collide in >= 1 band. Returns distinct
-    (doc_a, doc_b)."""
-    sig = minhash_signatures(documents, k)
+    (doc_a, doc_b). num_hashes self-sizes like minhash_signatures;
+    bands = H / ROWS_PER_BAND."""
+    if num_hashes is None:
+        num_hashes = sized_num_hashes(documents.count())
+    sig = minhash_signatures(documents, k, num_hashes=num_hashes)
     bands = []
-    for b in range(BANDS):
+    for b in range(num_hashes // ROWS_PER_BAND):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         bands.append(
             sig.select(
@@ -164,9 +199,13 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def simhash_table(documents: DataFrame, bits: int = 16) -> DataFrame:
+def simhash_table(documents: DataFrame, bits: int | None = None) -> DataFrame:
     """bits-wide SimHash over token frequencies: bit j is the sign of
-    sum over tokens of count * (2*bit_j(hash8(tok)) - 1)."""
+    sum over tokens of count * (2*bit_j(hash8(tok)) - 1). bits=None
+    self-sizes via sized_simhash_bits(|documents|); the oracle-backed
+    gate row pins 16 (its corpus is tiny)."""
+    if bits is None:
+        bits = sized_simhash_bits(documents.count())
     tok_counts = (
         documents.select(
             "doc_id",

@@ -73,11 +73,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return minhash_signatures(_docs(spark, sf_dir), k=3)
+    return minhash_signatures(_docs(spark, sf_dir), k=3, num_hashes=16)
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(_docs(spark, sf_dir), k=3)
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=3, num_hashes=16)
 
 
 def q_simhash(spark, sf_dir):
@@ -251,7 +251,7 @@ def q_minhash_accuracy(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    sig = minhash_signatures(docs, k=3)
+    sig = minhash_signatures(docs, k=3, num_hashes=NUM_HASHES)
     exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64).select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -22,9 +22,16 @@ QUANT = 1000
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     con = duckdb.connect()
+    if k <= 0:
+        # default k ~= sqrt(n): the IVF balance point (probing nprobe
+        # of sqrt(n) lists touches ~nprobe*sqrt(n) vectors, not n)
+        (n,) = con.execute(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()
+        k = max(4, round(n**0.5))
     rows = con.execute(
         f"""SELECT vec_id,
                    list_transform(embedding, x -> round(x::DOUBLE * {QUANT})::BIGINT)

@@ -168,3 +168,29 @@ def test_embedding_dup_lsh_superset_check(spark, embeddings):
     out = embedding_dup_pairs_lsh(embeddings, min_cos=0.3)
     rows = out.collect()
     assert rows and all(r.cos_q >= 0.3 for r in rows)
+
+
+def test_scale_dials_are_functions_of_corpus_size():
+    from qendpoint_spark.ops.dedup import sized_num_hashes, sized_simhash_bits
+
+    assert sized_num_hashes(500) == 16
+    assert sized_num_hashes(10_000_000) == 32
+    assert sized_num_hashes(1_000_000_000) == 64
+    assert sized_simhash_bits(500) == 17  # ceil(log2 500)=9, +8 margin
+    assert sized_simhash_bits(10) == 16  # floor
+    assert sized_simhash_bits(1_000_000) == 28  # log2(1M)=20 (+8)
+    assert sized_simhash_bits(10**12) == 48
+    assert sized_simhash_bits(10**18) == 64  # cap
+
+
+def test_self_sized_minhash_and_simhash_run(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common text body {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    from qendpoint_spark.ops.dedup import minhash_signatures, simhash_table
+
+    sig = minhash_signatures(docs)  # self-sized -> 16 at n=30
+    assert len([c for c in sig.columns if c.startswith("mh")]) == 16
+    sh = simhash_table(docs)
+    assert sh.count() == 30
