@@ -279,6 +279,62 @@ def q_minhash_accuracy(spark, sf_dir):
     )
 
 
+def q_dedup_lsh_quality(spark, sf_dir):
+    """Measured LSH dedup quality on a CONTROLLED near-dup corpus —
+    the metric a production pipeline monitors before deleting data.
+
+    Construction: every document gets one injected near-duplicate
+    (doc_id + 1,000,000, last token dropped -> shingle Jaccard ~0.95),
+    so ground truth is known by ID arithmetic, not by eyeballing a
+    saturated replica corpus. Output is ONE metrics row:
+      recall    = injected pairs (exact J >= 0.5) caught by LSH banding
+      precision = LSH candidate pairs whose exact J really is >= 0.5
+      meets_target = recall >= 0.9 at the pinned (16 hashes, 4x4 bands)
+    With r=4 rows/band the band-collision probability at J~0.95 is
+    1-(1-J^4)^4 ~ 0.9998, so recall ~1.0 is the HEALTHY reading; a drop
+    flags a broken hash or banding change."""
+    from qendpoint_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from qendpoint_spark.ops.textstats import round6_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), " [^ ]+$", ""
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    exact = ngram_jaccard_pairs(corpus, k=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(corpus, k=3, num_hashes=16)
+    injected = exact.filter(F.col("doc_b") == F.col("doc_a") + 1_000_000)
+    hits = injected.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    cand_true = lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+    row = (
+        injected.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(cand_true.agg(F.count(F.lit(1)).alias("n_cand_true")))
+    )
+    return row.select(
+        "n_true",
+        "n_hit",
+        round6_exact(F.col("n_hit"), F.col("n_true")).alias("recall"),
+        "n_cand",
+        "n_cand_true",
+        round6_exact(F.col("n_cand_true"), F.col("n_cand")).alias(
+            "precision"
+        ),
+        (
+            round6_exact(F.col("n_hit"), F.col("n_true")) >= 0.9
+        ).alias("meets_target"),
+    )
+
+
 def q_canonicalize_cc(spark, sf_dir):
     """Real large-star/small-star CC over star-shaped sameas edges whose
     components have a closed form (group head = doc_id - doc_id % 5) —
@@ -318,6 +374,7 @@ OPS_QUERIES = {
     "quality_filter": q_quality_filter,
     "dedup_keepers": q_dedup_keepers,
     "dedup_minhash_accuracy": q_minhash_accuracy,
+    "dedup_lsh_quality": q_dedup_lsh_quality,
 }
 
 # --------------------------------------------------------------- oracles
@@ -819,6 +876,76 @@ SELECT e.doc_a, e.doc_b, e.jaccard,
 FROM exact e
 JOIN sig a ON a.doc_id = e.doc_a
 JOIN sig b ON b.doc_id = e.doc_b""",
+    "dedup_lsh_quality": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         regexp_replace(coalesce(text, ''), ' [^ ]+$', '') AS text
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(lst) >= 3
+           THEN list_transform(generate_series(1, len(lst) - 2),
+                               i -> array_to_string(lst[i:i+2], ' '))
+           ELSE [array_to_string(lst, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS lst
+          FROM corpus)
+  ) WHERE length(shingle) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE {_q6('n_common', 'sa.n_sh + sb.n_sh - n_common')} >= 0.5
+),
+sig AS (
+  SELECT doc_id, {_MH_COLS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    "SELECT doc_id, " + str(b) + " AS band, md5(concat_ws(':', "
+    + ", ".join(f"mh{b*4+r}::VARCHAR" for r in range(4))
+    + ")) AS band_hash FROM sig"
+    for b in range(4)
+)}
+),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+injected AS (
+  SELECT * FROM exact WHERE doc_b = doc_a + 1000000
+),
+hits AS (
+  SELECT i.* FROM injected i JOIN lsh USING (doc_a, doc_b)
+),
+cand_true AS (
+  SELECT l.* FROM lsh l JOIN exact USING (doc_a, doc_b)
+)
+SELECT
+  (SELECT count(*) FROM injected) AS n_true,
+  (SELECT count(*) FROM hits) AS n_hit,
+  {_q6('(SELECT count(*) FROM hits)', '(SELECT count(*) FROM injected)')}
+    AS recall,
+  (SELECT count(*) FROM lsh) AS n_cand,
+  (SELECT count(*) FROM cand_true) AS n_cand_true,
+  {_q6('(SELECT count(*) FROM cand_true)', '(SELECT count(*) FROM lsh)')}
+    AS precision,
+  {_q6('(SELECT count(*) FROM hits)', '(SELECT count(*) FROM injected)')}
+    >= 0.9 AS meets_target""",
     # the triples CTE is SHARED with the kg prelude (entry_queries.
     # _triples_cte) so the extraction grammar can never diverge between
     # the pipeline oracles and this canonicalization oracle
