@@ -42,11 +42,24 @@ def stream_ingest_pages(
     landing_dir: str,
     staging_dir: str,
     checkpoint_dir: str,
+    fail_after_batch_write: int | None = None,
 ) -> None:
-    """Drain the landing directory (availableNow) appending per-batch
-    extracted triples to staging. Restart-safe: the streaming
-    checkpoint replays unfinished batches, parquet append is per-batch
-    atomic, and downstream compaction dedups."""
+    """Drain the landing directory (availableNow), writing each
+    micro-batch's extracted triples to its OWN staging partition
+    `batch=<id>` with overwrite — the idempotent-foreachBatch sink
+    pattern. Exactly-once staging under crash/replay: if the driver
+    dies after the sink write but before the checkpoint commit (the
+    at-least-once window of a plain append), the restarted query
+    replays the batch into the same directory and OVERWRITES it, so
+    staging never holds a batch twice. The streaming analog of the
+    reference's 3-step resumable merge (MergeRunnable restart steps;
+    tested by MergeRestartTest — here tests/test_streaming.py::
+    test_stream_ingest_crash_resume_exactly_once).
+
+    fail_after_batch_write: fault injection for that test — raise
+    AFTER batch `id`'s sink write completes, BEFORE the checkpoint
+    commits, which is precisely the replay window.
+    """
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -58,7 +71,14 @@ def stream_ingest_pages(
         triples = extract_triples_from_pages(batch_df).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        triples.write.mode("append").parquet(staging_dir)
+        triples.write.mode("overwrite").parquet(
+            f"{staging_dir}/batch={batch_id}"
+        )
+        if fail_after_batch_write is not None and batch_id == fail_after_batch_write:
+            raise RuntimeError(
+                f"injected crash: batch {batch_id} written, "
+                "checkpoint not committed"
+            )
 
     q = (
         stream.writeStream.foreachBatch(per_batch)

@@ -4,6 +4,7 @@ appends == one-shot batch extraction after compaction (the CatTree
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from qendpoint_spark.datagen import generate_pages
@@ -94,3 +95,48 @@ def test_stream_compact_incremental_merge(spark, tmp_path):
         a = cat_inc.read(name).select(*cols)
         b = cat_full.read(name).select(*cols)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, name
+
+
+def test_stream_ingest_crash_resume_exactly_once(spark, tmp_path):
+    """Kill the drain AFTER a batch's sink write but BEFORE its
+    checkpoint commit (the at-least-once replay window), restart, and
+    assert staging holds each batch EXACTLY once — the idempotent
+    per-batch-overwrite sink makes the replay a no-op instead of a
+    duplicate (streaming analog of the reference's MergeRestartTest)."""
+    landing = str(tmp_path / "landing")
+    pages = generate_pages(spark, 80, seed=31).cache()
+    half = F.pmod(F.xxhash64("url"), F.lit(2))
+    pages.filter(half == 0).write.parquet(f"{landing}/drop1.parquet")
+    pages.filter(half == 1).write.parquet(f"{landing}/drop2.parquet")
+
+    # reference run: same landing, no fault
+    ref_staging = str(tmp_path / "staging_ref")
+    stream_ingest_pages(spark, landing, ref_staging, str(tmp_path / "ck_ref"))
+
+    # faulted run: crash after the first batch's files hit staging
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected crash"):
+        stream_ingest_pages(
+            spark, landing, staging, ckpt, fail_after_batch_write=0
+        )
+    # restart WITHOUT the fault: checkpoint replays the uncommitted
+    # batch (overwriting its partition), then drains the rest
+    stream_ingest_pages(spark, landing, staging, ckpt)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(staging).select("s", "p", "o").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(ref_staging)
+        .select("s", "p", "o")
+        .collect()
+    )
+    assert got == want  # multiset equality: no duplicated batch
+    # and the restart actually REPLAYED (staging non-empty, all pages)
+    assert (
+        spark.read.parquet(staging).select("s").distinct().count()
+        == extract_triples_from_pages(pages).select("s").distinct().count()
+    )
