@@ -118,9 +118,51 @@ def _parse_lines(lines: DataFrame) -> DataFrame:
 
 def read_ntriples(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Parse N-Triples file(s) (path, glob, or list of paths; Spark
-    decompresses .gz/.bz2/... transparently) into triples_str(s, p, o).
-    Distributed: one task per text split."""
-    return _parse_lines(spark.read.text(path))
+    decompresses .gz/.bz2/... transparently, .xz/.lzma decode through
+    the Python shim) into triples_str(s, p, o). Distributed: one task
+    per text split (one per FILE for the non-splittable xz path)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    xz = [p for p in paths if p.lower().endswith(_PY_CODECS)]
+    rest = [p for p in paths if not p.lower().endswith(_PY_CODECS)]
+    parts = []
+    if rest:
+        parts.append(_parse_lines(spark.read.text(rest)))
+    if xz:
+        parts.append(_parse_lines(_read_xz_lines(spark, xz)))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _read_xz_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """xz/lzma N-Triples: Spark ships no xz codec (CompressionType.java
+    lists xz/lzma; Hadoop needs the external XZCodec), so files load as
+    binaryFile rows — parallel ACROSS files, like every non-splittable
+    codec (plain .gz behaves the same in Spark) — and an Arrow-batched
+    mapInPandas decompresses with the stdlib lzma module and emits
+    lines. Shard big dumps into many .xz files for parallelism, which
+    is how they ship anyway."""
+    blobs = spark.read.format("binaryFile").load(paths).select("content")
+    return _expand_xz(blobs)
+
+
+def _expand_xz(blobs: DataFrame) -> DataFrame:
+    """binaryFile rows (content) -> decompressed text lines."""
+
+    def expand(batches):
+        import lzma
+
+        for pdf in batches:
+            out: list[str] = []
+            for content in pdf["content"]:
+                text = lzma.decompress(bytes(content)).decode(
+                    "utf-8", errors="replace"
+                )
+                out.extend(text.splitlines())
+            yield pd.DataFrame({"value": out})
+
+    return blobs.mapInPandas(expand, "value string")
 
 
 # --- container sources + format guess ------------------------------------
@@ -133,13 +175,16 @@ def read_ntriples(spark: SparkSession, path: str | list[str]) -> DataFrame:
 # "read the list file, then pass its entries as one multi-path load".
 
 _TEXT_CODECS = (".gz", ".bz2", ".lz4", ".zst", ".zstd", ".snappy", ".deflate")
+# codecs Spark has no native decoder for; decoded Python-side via the
+# stdlib lzma module (CompressionType.java:34-58 lists xz/lzma)
+_PY_CODECS = (".xz", ".lzma")
 
 
 def guess_format(path: str) -> str:
     """Extension -> source kind ('ntriples' | 'parquet' | 'list' |
     'dir'). Codec suffixes are transparent, as in the reference."""
     p = path.rstrip("/").lower()
-    for codec in _TEXT_CODECS:
+    for codec in _TEXT_CODECS + _PY_CODECS:
         if p.endswith(codec):
             p = p[: -len(codec)]
             break
@@ -204,13 +249,26 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
 
 def read_ntriples_dir(spark: SparkSession, path: str) -> DataFrame:
     """Directory container (RDFParserDir analog): every *.nt member —
-    compressed or not — parsed recursively in one distributed load."""
-    lines = (
+    compressed or not — parsed recursively in one distributed load;
+    .nt.xz/.nt.lzma members take the Python lzma shim branch (Spark's
+    text reader would consume their raw bytes as garbage)."""
+    text_lines = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.nt*")
         .text(path)
+        .filter(~F.lower(F.input_file_name()).rlike(r"\.(xz|lzma)$"))
     )
-    return _parse_lines(lines)
+    out = _parse_lines(text_lines)
+    xz_blobs = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.nt.{xz,lzma}")
+        .load(path)
+        .select("content")
+    )
+    if xz_blobs.take(1):
+        out = out.unionByName(_parse_lines(_expand_xz(xz_blobs)))
+    return out
 
 
 # --- archive containers (zip / tar) ---------------------------------------
@@ -238,6 +296,10 @@ def _member_lines(name: str, data: bytes):
         data, n = _gzip.decompress(data), n[:-3]
     elif n.endswith((".bz2",)):
         data, n = _bz2.decompress(data), n[:-4]
+    elif n.endswith(".xz") or n.endswith(".lzma"):
+        import lzma as _lzma
+
+        data, n = _lzma.decompress(data), n[: n.rindex(".")]
     if not n.endswith((".nt", ".ntriples")):
         return None
     return data.decode("utf-8", errors="replace").splitlines()

@@ -1118,6 +1118,82 @@ class SparqlEngine:
             a, ta = self._expr(node.args[1], bf)
             b, _ = self._expr(node.args[2], bf)
             return F.when(c.cast("boolean"), a).otherwise(b), ta
+        if name == "ROUND":
+            # XPath fn:round: half rounds toward positive infinity
+            return F.floor(arg(0, "num") + F.lit(0.5)), "num"
+        if name == "CEIL":
+            return F.ceil(arg(0, "num")).cast("double"), "num"
+        if name == "FLOOR":
+            return F.floor(arg(0, "num")).cast("double"), "num"
+        if name == "SUBSTR":
+            s = arg(0, "str")
+            start = arg(1, "num").cast("int")
+            if len(node.args) > 2:
+                return s.substr(start, arg(2, "num").cast("int")), "str"
+            return s.substr(start, F.length(s)), "str"
+        if name == "CONCAT":
+            return F.concat(
+                *[arg(i, "str") for i in range(len(node.args))]
+            ), "str"
+        if name == "REPLACE":
+            pat, rep = node.args[1], node.args[2]
+            if not isinstance(pat, StrLit) or not isinstance(rep, StrLit):
+                raise NotImplementedError(
+                    "REPLACE pattern/replacement must be literals"
+                )
+            return F.regexp_replace(
+                arg(0, "str"), pat.value, rep.value
+            ), "str"
+        if name == "STRBEFORE":
+            s, b = arg(0, "str"), arg(1, "str")
+            pos = F.instr(s, b)
+            return F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(
+                F.lit("")
+            ), "str"
+        if name == "STRAFTER":
+            s, b = arg(0, "str"), arg(1, "str")
+            pos = F.instr(s, b)
+            return F.when(
+                pos > 0, F.substring(s, pos + F.length(b), F.length(s))
+            ).otherwise(F.lit("")), "str"
+        if name == "ENCODE_FOR_URI":
+            return F.url_encode(arg(0, "str")), "str"
+        if name == "MD5":
+            return F.md5(arg(0, "str")), "str"
+        if name == "SHA1":
+            return F.sha1(arg(0, "str")), "str"
+        if name in ("SHA256", "SHA384", "SHA512"):
+            return F.sha2(arg(0, "str"), int(name[3:])), "str"
+        if name in ("IRI", "URI"):
+            return arg(0, "str"), "term"  # bare-IRI internal form
+        if name == "STRDT":
+            dt = node.args[1]
+            if isinstance(dt, Term):
+                dtc = F.lit(dt.lex)
+            else:
+                dtc = arg(1, "str")
+            return F.concat(
+                F.lit('"'), arg(0, "str"), F.lit('"^^<'), dtc, F.lit(">")
+            ), "term"
+        if name == "STRLANG":
+            return F.concat(
+                F.lit('"'), arg(0, "str"), F.lit('"@'), arg(1, "str")
+            ), "term"
+        if name == "ISNUMERIC":
+            c, t = arg(0)
+            return _as_num(c, t).isNotNull() & c.startswith('"'), "bool"
+        if name == "LANGMATCHES":
+            tag, rng = F.lower(arg(0, "str")), F.lower(arg(1, "str"))
+            return F.when(rng == "*", tag != "").otherwise(
+                (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+            ), "bool"
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            ts = arg(0, "str").try_cast("timestamp")
+            fn = {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+            }[name]
+            return fn(ts).cast("double"), "num"
         raise NotImplementedError(f"function {name}")
 
     # -- query forms -----------------------------------------------------

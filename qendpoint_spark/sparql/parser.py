@@ -298,6 +298,10 @@ _EXPR_FUNCS = {
     "STR", "LANG", "DATATYPE", "BOUND", "REGEX", "STRSTARTS", "STRENDS",
     "CONTAINS", "STRLEN", "UCASE", "LCASE", "ABS", "COALESCE", "IF",
     "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "SAMETERM",
+    "ROUND", "CEIL", "FLOOR", "SUBSTR", "CONCAT", "REPLACE",
+    "STRBEFORE", "STRAFTER", "ENCODE_FOR_URI", "MD5", "SHA1", "SHA256",
+    "SHA384", "SHA512", "IRI", "URI", "STRDT", "STRLANG", "ISNUMERIC",
+    "LANGMATCHES", "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
 }
 
 

@@ -258,3 +258,70 @@ def test_delta_file_roundtrip(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_xz_lzma_transparent_decompression(spark, tmp_path):
+    """CompressionType.java:34-58 lists xz/lzma; Spark has no codec for
+    either, so the Python lzma shim decodes them — single file, list of
+    files, archive members, and directory members all route through it."""
+    import lzma
+
+    nt = (
+        '<http://ex/s1> <http://ex/p> "café"@fr .\n'
+        "<http://ex/s2> <http://ex/p> <http://ex/o> .\n"
+    )
+    xz_path = tmp_path / "data.nt.xz"
+    xz_path.write_bytes(lzma.compress(nt.encode()))
+    got = {
+        tuple(r)
+        for r in read_ntriples(spark, str(xz_path)).collect()
+    }
+    want = {
+        ("http://ex/s1", "http://ex/p", '"café"@fr'),
+        ("http://ex/s2", "http://ex/p", "http://ex/o"),
+    }
+    assert got == want
+
+    # .lzma alias + mixed plain/.xz multi-path load
+    lz_path = tmp_path / "more.nt.lzma"
+    lz_path.write_bytes(
+        lzma.compress(b"<http://ex/s3> <http://ex/p> <http://ex/o3> .\n")
+    )
+    plain = tmp_path / "plain.nt"
+    plain.write_text("<http://ex/s4> <http://ex/p> <http://ex/o4> .\n")
+    got = {
+        tuple(r)
+        for r in read_ntriples(
+            spark, [str(xz_path), str(lz_path), str(plain)]
+        ).collect()
+    }
+    assert got == want | {
+        ("http://ex/s3", "http://ex/p", "http://ex/o3"),
+        ("http://ex/s4", "http://ex/p", "http://ex/o4"),
+    }
+
+    # directory container with a mixed membership
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "a.nt").write_text("<http://ex/d1> <http://ex/p> <http://ex/o> .\n")
+    (d / "b.nt.xz").write_bytes(
+        lzma.compress(b"<http://ex/d2> <http://ex/p> <http://ex/o> .\n")
+    )
+    from qendpoint_spark.sources.ntriples import read_ntriples_dir
+
+    got = {r["s"] for r in read_ntriples_dir(spark, str(d)).collect()}
+    assert got == {"http://ex/d1", "http://ex/d2"}
+
+    # zip archive with an .nt.xz member
+    import zipfile
+
+    zp = tmp_path / "arch.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr(
+            "inner.nt.xz",
+            lzma.compress(b"<http://ex/z1> <http://ex/p> <http://ex/o> .\n"),
+        )
+    from qendpoint_spark.sources.ntriples import read_ntriples_archive
+
+    got = {r["s"] for r in read_ntriples_archive(spark, str(zp)).collect()}
+    assert got == {"http://ex/z1"}

@@ -735,3 +735,78 @@ def test_engine_values_undef(chain_engine):
         "SELECT ?s WHERE { ?s <m> ?o . VALUES ?s { UNDEF } }"
     )
     assert _rows(out) == [("d1",), ("d2",)]
+
+
+def test_engine_string_numeric_builtin_functions(num_engine):
+    # SUBSTR/CONCAT/REPLACE/STRBEFORE/STRAFTER over an IRI binding
+    out = num_engine.query(
+        "SELECT ?s ?sub ?cat ?rep ?bef ?aft WHERE { ?s <tag> ?o . "
+        'BIND(SUBSTR(STR(?s), 1, 1) AS ?sub) '
+        'BIND(CONCAT(STR(?s), "-", STR(?o)) AS ?cat) '
+        'BIND(REPLACE(STR(?o), "x", "y") AS ?rep) '
+        'BIND(STRBEFORE("ab-cd", "-") AS ?bef) '
+        'BIND(STRAFTER("ab-cd", "-") AS ?aft) }'
+    )
+    rows = {r["s"]: tuple(r) for r in out.collect()}
+    assert rows["a"][1] == "a" and rows["a"][2] == 'a-"x"'
+    assert rows["a"][3] == "y" and rows["b"][3] == "y"
+    assert rows["a"][4] == "ab" and rows["a"][5] == "cd"
+    # ROUND/CEIL/FLOOR numeric semantics (XPath: ROUND half-up)
+    out = num_engine.query(
+        "SELECT ?r ?c ?f WHERE { ?s <tag> ?o . "
+        "BIND(ROUND(2.5) AS ?r) BIND(CEIL(2.1) AS ?c) "
+        "BIND(FLOOR(2.9) AS ?f) } LIMIT 1"
+    )
+    assert tuple(out.collect()[0]) == (3.0, 3.0, 2.0)
+    # ISNUMERIC distinguishes numeric literals from IRIs and strings
+    out = num_engine.query(
+        "SELECT ?s WHERE { ?s <price> ?p . FILTER(ISNUMERIC(?p)) }"
+    )
+    assert len(out.collect()) == 3
+    out = num_engine.query(
+        "SELECT ?s WHERE { ?s <tag> ?o . FILTER(ISNUMERIC(?s)) }"
+    )
+    assert out.collect() == []
+
+
+def test_engine_term_constructors_and_lang(chain_engine):
+    # STRDT / STRLANG / IRI build terms; LANGMATCHES filters tags
+    out = chain_engine.query(
+        'SELECT ?d ?l ?i WHERE { ?s <m> ?o . '
+        'BIND(STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>) AS ?d) '
+        'BIND(STRLANG("hi", "en-US") AS ?l) '
+        'BIND(IRI("http://ex/built") AS ?i) } LIMIT 1'
+    )
+    r = out.collect()[0]
+    assert r["d"] == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert r["l"] == '"hi"@en-US'
+    assert r["i"] == "http://ex/built"
+    out = chain_engine.query(
+        'SELECT ?ok ?star ?no WHERE { ?s <m> ?o . '
+        'BIND(LANGMATCHES("en-US", "en") AS ?ok) '
+        'BIND(LANGMATCHES("fr", "*") AS ?star) '
+        'BIND(LANGMATCHES("de", "en") AS ?no) } LIMIT 1'
+    )
+    assert tuple(out.collect()[0]) == (True, True, False)
+
+
+def test_engine_hash_and_datetime_functions(chain_engine):
+    import hashlib
+
+    out = chain_engine.query(
+        'SELECT ?m ?s2 WHERE { ?s <m> ?o . '
+        'BIND(MD5("abc") AS ?m) BIND(SHA256("abc") AS ?s2) } LIMIT 1'
+    )
+    r = out.collect()[0]
+    assert r["m"] == hashlib.md5(b"abc").hexdigest()
+    assert r["s2"] == hashlib.sha256(b"abc").hexdigest()
+    out = chain_engine.query(
+        'SELECT ?y ?mo ?h WHERE { ?s <m> ?o . '
+        'BIND(YEAR("2024-03-07T10:30:00"^^'
+        "<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?y) "
+        'BIND(MONTH("2024-03-07T10:30:00"^^'
+        "<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?mo) "
+        'BIND(HOURS("2024-03-07T10:30:00"^^'
+        "<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?h) } LIMIT 1"
+    )
+    assert tuple(out.collect()[0]) == (2024.0, 3.0, 10.0)
