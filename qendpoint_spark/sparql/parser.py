@@ -896,17 +896,29 @@ class _Parser:
                 return BinOp(op, left, self.parse_add())
         if self.at_kw("IN"):
             self.next()
-            self.eat_op("(")
-            items = [self.parse_expr()]
-            while self.at_op(","):
-                self.next()
-                items.append(self.parse_expr())
-            self.eat_op(")")
-            node = BinOp("=", left, items[0])
-            for it in items[1:]:
-                node = BinOp("||", node, BinOp("=", left, it))
-            return node
+            return self._in_list(left)
+        if self.at_kw("NOT") and self._peek_kw_after_not() == "IN":
+            self.next()  # NOT
+            self.next()  # IN
+            return UnaryOp("!", self._in_list(left))
         return left
+
+    def _peek_kw_after_not(self) -> str:
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return nxt.text.upper() if nxt and nxt.kind == "KEYWORD" else ""
+
+    def _in_list(self, left):
+        """`expr IN (e1, ..., en)` desugars to an =-chain (SPARQL 17.4.1.9)."""
+        self.eat_op("(")
+        items = [self.parse_expr()]
+        while self.at_op(","):
+            self.next()
+            items.append(self.parse_expr())
+        self.eat_op(")")
+        node = BinOp("=", left, items[0])
+        for it in items[1:]:
+            node = BinOp("||", node, BinOp("=", left, it))
+        return node
 
     def parse_add(self):
         left = self.parse_mul()

@@ -810,3 +810,16 @@ def test_engine_hash_and_datetime_functions(chain_engine):
         "<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?h) } LIMIT 1"
     )
     assert tuple(out.collect()[0]) == (2024.0, 3.0, 10.0)
+
+
+def test_parser_in_and_not_in():
+    from qendpoint_spark.sparql.parser import BinOp, UnaryOp
+
+    q = parse_query("SELECT ?x WHERE { ?x <p> ?o . FILTER(?o IN (1, 2)) }")
+    f = [e for e in q.where.elements if hasattr(e, "expr")][0].expr
+    assert isinstance(f, BinOp) and f.op == "||"  # =-chain desugaring
+    q = parse_query(
+        'SELECT ?x WHERE { ?x <p> ?o . FILTER(?o NOT IN ("a")) }'
+    )
+    f = [e for e in q.where.elements if hasattr(e, "expr")][0].expr
+    assert isinstance(f, UnaryOp) and f.op == "!"
