@@ -171,6 +171,31 @@ def q_ntile_quartiles(spark, sf_dir):
     )
 
 
+def q_rank_distribution(spark, sf_dir):
+    """Rank-distribution window shapes: percent_rank, cume_dist and
+    dense_rank of each supplier's account balance within its nation —
+    the remaining SQL:2003 ranking functions not covered by the
+    row_number/ntile rows. Ties (same balance) keep equal ranks, so the
+    result is deterministic without a tiebreak; fractions are computed
+    from the integer rank/count pieces through the exact-rounding
+    helper (float percent_rank() would not hash identically across
+    engines)."""
+    from qendpoint_spark.ops.textstats import round6_exact
+
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal")
+    n = F.count(F.lit(1)).over(Window.partitionBy("s_nationkey"))
+    rk = F.rank().over(w)
+    le = F.count(F.lit(1)).over(w)  # default frame: rows <= current (peers incl.)
+    return sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        round6_exact(rk - 1, F.greatest(n - 1, F.lit(1))).alias("pct_rank"),
+        round6_exact(le, n).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
 def q_lead_lag_gaps(spark, sf_dir):
     """LEAD window shape: per-user inter-event gap in seconds (the
     sessionize building block exposed as its own operator); last event
@@ -334,6 +359,7 @@ REL_QUERIES = {
     "rel_scalar_subquery_small_qty": q_scalar_subquery_small_qty,
     "rel_ntile_quartiles": q_ntile_quartiles,
     "rel_lead_lag_gaps": q_lead_lag_gaps,
+    "rel_rank_distribution": q_rank_distribution,
     "rel_setops_intersect_except": q_setops_intersect_except,
     "rel_rollup_order_stats": q_rollup_order_stats,
     "rel_sessionize_events": q_sessionize_events,
@@ -406,6 +432,22 @@ SELECT o_orderpriority, quartile, count(*)::BIGINT AS n,
        round(sum(o_totalprice), 2) AS total,
        min(o_orderkey) AS first_key
 FROM q GROUP BY 1, 2""",
+    "rel_rank_distribution": """
+WITH b AS (
+  SELECT s_nationkey, s_suppkey,
+         rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS rk,
+         dense_rank() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal) AS drank,
+         count(*) OVER (PARTITION BY s_nationkey
+                        ORDER BY s_acctbal) AS le,
+         count(*) OVER (PARTITION BY s_nationkey) AS n
+  FROM supplier
+)
+SELECT s_nationkey, s_suppkey,
+       (((rk - 1) * 2000000 + (greatest(n - 1, 1))) // (2 * (greatest(n - 1, 1))) / 1000000.0) AS pct_rank,
+       (((le) * 2000000 + (n)) // (2 * (n)) / 1000000.0) AS cume,
+       drank::BIGINT AS drank
+FROM b""",
     "rel_lead_lag_gaps": """
 SELECT user_id, event_id,
        coalesce(
