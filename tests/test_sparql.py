@@ -748,7 +748,7 @@ def test_engine_string_numeric_builtin_functions(num_engine):
         'BIND(STRAFTER("ab-cd", "-") AS ?aft) }'
     )
     rows = {r["s"]: tuple(r) for r in out.collect()}
-    assert rows["a"][1] == "a" and rows["a"][2] == 'a-"x"'
+    assert rows["a"][1] == "a" and rows["a"][2] == "a-x"
     assert rows["a"][3] == "y" and rows["b"][3] == "y"
     assert rows["a"][4] == "ab" and rows["a"][5] == "cd"
     # ROUND/CEIL/FLOOR numeric semantics (XPath: ROUND half-up)
