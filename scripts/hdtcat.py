@@ -7,6 +7,10 @@ triples through its (space, old_id -> new_id) remap — no triple string
 ever decodes or shuffles (merge/kcat.py) — then publishes the merged
 dictionary (MSD layout) + SPO/OPS tables like the main pipeline.
 
+Inputs and --output may each be a warehouse dir OR a binary .hdt
+file (mix freely): `hdtcat.py --output merged.hdt a.hdt b.hdt` is the
+reference CLI's exact shape.
+
 Usage:
     python scripts/hdtcat.py --output /path/out_wh WH1 WH2 [WH3 ...]
     python scripts/hdtcat.py --diff --output /path/out_wh WH_BASE WH_DEL
@@ -43,20 +47,38 @@ def main() -> None:
         ap.error("need at least two input warehouses")
 
     spark = get_spark("hdtcat", cores=args.cpus)
-    cats = [Catalog(spark, p) for p in args.inputs]
+
+    def load(path: str):
+        """(triples_spo, dict_terms) from a warehouse dir OR a binary
+        .hdt file — the reference's hdtCat operates on .hdt files."""
+        if path.endswith(".hdt"):
+            from qendpoint_spark.hdt import hdt_to_dataframes
+
+            d, enc = hdt_to_dataframes(spark, path)
+            return enc, d
+        c = Catalog(spark, path)
+        return c.read("triples_spo"), c.read("dict_terms")
+
+    pairs = [load(p) for p in args.inputs]
     if args.diff:
         from qendpoint_spark.encoding import decode_triples
 
-        base, delete = (
-            decode_triples(c.read("triples_spo"), c.read("dict_terms"))
-            for c in cats
-        )
+        base, delete = (decode_triples(enc, d) for enc, d in pairs)
         md, mt = diff_datasets(base, delete, num_partitions=args.partitions)
     else:
-        inputs = [
-            (c.read("triples_spo"), c.read("dict_terms")) for c in cats
-        ]
+        inputs = [(enc, d) for enc, d in pairs]
         md, mt, _ = merge_datasets(inputs, num_partitions=args.partitions)
+
+    if args.output.endswith(".hdt"):
+        from qendpoint_spark.hdt import write_hdt
+
+        sizes = write_hdt(md, mt, args.output)
+        print(
+            f"{'diff' if args.diff else 'cat'} -> {args.output}: "
+            f"{sizes['num_triples']:,} triples, {sizes['total']:,} bytes"
+        )
+        spark.stop()
+        return
 
     out = Catalog(spark, args.output)
     fp = ("diff:" if args.diff else "cat:") + "|".join(args.inputs)

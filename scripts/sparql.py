@@ -3,7 +3,7 @@
 file and print bindings).
 
 Usage:
-    python scripts/sparql.py <warehouse_dir> <query | @query_file | ->
+    python scripts/sparql.py <warehouse_dir | file.hdt> <query | @query_file | ->
         [--show N]
 
 The query may be given inline, as @path to a .rq file, or `-` for
@@ -39,6 +39,20 @@ def main() -> None:
         text = qarg
 
     spark = get_spark("qendpoint-sparql")
+    if warehouse.endswith(".hdt"):
+        # query a binary .hdt container directly (hdtsparql.sh parity:
+        # the reference runs SPARQL straight off the file)
+        from qendpoint_spark.hdt import hdt_to_dataframes
+
+        dict_terms, enc = hdt_to_dataframes(spark, warehouse)
+        engine = SparqlEngine(enc.cache(), dict_terms.cache())
+        df = engine.query(text)
+        rows = df.take(show) if show else df.collect()
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+        spark.stop()
+        return
     catalog = Catalog(spark, warehouse)
     # update scripts (INSERT/DELETE after the prologue) mutate the
     # warehouse — the /api/endpoint/update analog

@@ -2,7 +2,7 @@
 (qendpoint-core core/tools/HDTVerify.java:91-405 — strict sort order,
 uniqueness, ID density, resolvability).
 
-Usage: python scripts/verify_tables.py <warehouse_dir>
+Usage: python scripts/verify_tables.py <warehouse_dir | file.hdt>
 Exit 0 = all invariants hold.
 """
 
@@ -22,9 +22,18 @@ from qendpoint_spark.session import get_spark  # noqa: E402
 def main() -> int:
     wh = sys.argv[1]
     spark = get_spark("verify-tables", cores=8)
-    d = spark.read.parquet(f"{wh}/dict_terms")
-    spo = spark.read.parquet(f"{wh}/triples_spo")
-    ops = spark.read.parquet(f"{wh}/triples_ops")
+    if wh.endswith(".hdt"):
+        # binary container: parse, then run the SAME invariants the
+        # warehouse path checks (hdtVerify works on .hdt files)
+        from qendpoint_spark.encoding import ops_table
+        from qendpoint_spark.hdt import hdt_to_dataframes
+
+        d, spo = hdt_to_dataframes(spark, wh)
+        ops = ops_table(spo)
+    else:
+        d = spark.read.parquet(f"{wh}/dict_terms")
+        spo = spark.read.parquet(f"{wh}/triples_spo")
+        ops = spark.read.parquet(f"{wh}/triples_ops")
     errors: list[str] = []
 
     def check(name: str, cond: bool) -> None:

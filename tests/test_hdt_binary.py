@@ -120,3 +120,37 @@ def test_hdt_rejects_unknown_variants(tmp_path, spark, corpus):
     open(bad, "wb").write(open(path, "rb").read()[:40])
     with pytest.raises((ValueError, IndexError, NotImplementedError)):
         read_hdt(bad)
+
+
+def test_hdt_cat_merge_of_two_files(spark, tmp_path):
+    """hdtCat parity on real .hdt files: write two containers, merge
+    through the integer-remap KCat path, write the merged container,
+    and check the decoded statement set is the union."""
+    from qendpoint_spark.encoding import decode_triples
+    from qendpoint_spark.merge import merge_datasets
+
+    rows1 = [
+        ("http://ex/a", "http://ex/p", "http://ex/b"),
+        ("http://ex/b", "http://ex/p", "http://ex/c"),
+    ]
+    rows2 = [
+        ("http://ex/b", "http://ex/p", "http://ex/c"),  # overlap
+        ("http://ex/c", "http://ex/q", '"v"@en'),
+    ]
+    paths = []
+    for i, rows in enumerate((rows1, rows2)):
+        tri = spark.createDataFrame(rows, "s string, p string, o string")
+        d = build_dictionary(tri)
+        enc = encode_triples(tri, d)
+        p = str(tmp_path / f"in{i}.hdt")
+        write_hdt(d, enc, p)
+        paths.append(p)
+
+    pairs = [hdt_to_dataframes(spark, p) for p in paths]
+    md, mt, _ = merge_datasets([(enc, d) for d, enc in pairs])
+    out = str(tmp_path / "merged.hdt")
+    write_hdt(md, mt, out)
+
+    d3, enc3 = hdt_to_dataframes(spark, out)
+    got = sorted(tuple(r) for r in decode_triples(enc3, d3).collect())
+    assert got == sorted(set(rows1) | set(rows2))
