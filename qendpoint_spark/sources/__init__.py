@@ -6,6 +6,7 @@ from qendpoint_spark.sources.deltafile import (
 )
 from qendpoint_spark.sources.ntriples import (
     guess_format,
+    read_nquads,
     read_ntriples,
     read_ntriples_archive,
     read_ntriples_dir,
@@ -18,6 +19,7 @@ __all__ = [
     "read_delta_file",
     "write_delta_file",
     "guess_format",
+    "read_nquads",
     "read_ntriples",
     "read_ntriples_archive",
     "read_ntriples_dir",

@@ -31,6 +31,10 @@ from pyspark.sql import types as T
 # one N-Triples term: IRI | bnode | literal (with optional datatype/lang)
 _TERM = r'(<[^>]*>|_:[^\s]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9\-]+)?)'
 _LINE = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}\s*\.\s*$"
+# N-Quads: same line with an OPTIONAL graph label (IRI or bnode) —
+# reference RDFParserSimple handles .nq through the same line parser
+_GRAPH = r"(<[^>]*>|_:[^\s]+)?"
+_QLINE = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}\s*(?:\s{_GRAPH})?\s*\.\s*$"
 
 _STRING_ESCAPES = {
     "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
@@ -135,6 +139,52 @@ def read_ntriples(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return out
 
 
+def _parse_quad_lines(lines: DataFrame) -> DataFrame:
+    """Tokenized N-Quads lines -> (s,p,o,g). A line without a graph
+    label is a default-graph statement: g = NULL (the SPARQL dataset
+    model's unnamed graph; the pipeline publishes named-graph rows to
+    quads_spog and treats the union as the default graph)."""
+    parsed = (
+        lines.select(
+            F.regexp_extract("value", _QLINE, 1).alias("s_raw"),
+            F.regexp_extract("value", _QLINE, 2).alias("p_raw"),
+            F.regexp_extract("value", _QLINE, 3).alias("o_raw"),
+            F.regexp_extract("value", _QLINE, 4).alias("g_raw"),
+        )
+        .filter(
+            (F.col("s_raw") != "")
+            & (F.col("p_raw") != "")
+            & (F.col("o_raw") != "")
+        )
+    )
+    has_esc = (
+        F.col("s_raw").contains("\\")
+        | F.col("p_raw").contains("\\")
+        | F.col("o_raw").contains("\\")
+    )
+
+    def project(df: DataFrame, unescape: bool) -> DataFrame:
+        g = _term_col("g_raw", False)
+        return df.select(
+            _term_col("s_raw", unescape).alias("s"),
+            _term_col("p_raw", unescape).alias("p"),
+            _term_col("o_raw", unescape).alias("o"),
+            F.when(F.col("g_raw") != "", g).alias("g"),
+        )
+
+    return project(parsed.filter(~has_esc), False).unionByName(
+        project(parsed.filter(has_esc), True)
+    )
+
+
+def read_nquads(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parse N-Quads file(s) into (s, p, o, g) — g NULL for
+    default-graph lines. The quad pipeline (run_pipeline with a `g`
+    column) encodes the G section and publishes quads_spog for
+    GRAPH/FROM queries."""
+    return _parse_quad_lines(spark.read.text(path))
+
+
 def _read_xz_lines(spark: SparkSession, paths: list[str]) -> DataFrame:
     """xz/lzma N-Triples: Spark ships no xz codec (CompressionType.java
     lists xz/lzma; Hadoop needs the external XZCodec), so files load as
@@ -190,6 +240,8 @@ def guess_format(path: str) -> str:
             break
     if p.endswith((".nt", ".ntriples")):
         return "ntriples"
+    if p.endswith((".nq", ".nquads")):
+        return "nquads"
     if p.endswith(".zip") or p.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
         return "archive"
     if p.endswith(".parquet"):
@@ -216,6 +268,8 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
     kind = guess_format(path)
     if kind == "ntriples":
         return read_ntriples(spark, path)
+    if kind == "nquads":
+        return read_nquads(spark, path)
     if kind == "archive":
         return read_ntriples_archive(spark, path)
     if kind == "deltafile":

@@ -325,3 +325,65 @@ def test_xz_lzma_transparent_decompression(spark, tmp_path):
 
     got = {r["s"] for r in read_ntriples_archive(spark, str(zp)).collect()}
     assert got == {"http://ex/z1"}
+
+
+def test_nquads_parsing(spark, tmp_path):
+    """N-Quads: 4th term (IRI or bnode graph label) lands in `g`;
+    graph-less lines are default-graph statements (g NULL); escapes in
+    terms still route through the unescape frame."""
+    from qendpoint_spark.sources import read_nquads, read_rdf_source
+
+    nq = (
+        "<http://ex/s1> <http://ex/p> <http://ex/o1> <http://ex/g1> .\n"
+        '<http://ex/s2> <http://ex/p> "caf\\u00e9"@fr <http://ex/g2> .\n'
+        "<http://ex/s3> <http://ex/p> <http://ex/o3> _:gb .\n"
+        "<http://ex/s4> <http://ex/p> <http://ex/o4> .\n"  # default graph
+        "# comment line\n"
+    )
+    f = tmp_path / "data.nq"
+    f.write_text(nq)
+    got = {tuple(r) for r in read_nquads(spark, str(f)).collect()}
+    assert got == {
+        ("http://ex/s1", "http://ex/p", "http://ex/o1", "http://ex/g1"),
+        ("http://ex/s2", "http://ex/p", '"café"@fr', "http://ex/g2"),
+        ("http://ex/s3", "http://ex/p", "http://ex/o3", "_:gb"),
+        ("http://ex/s4", "http://ex/p", "http://ex/o4", None),
+    }
+    # read_rdf_source dispatches on the .nq suffix
+    assert set(read_rdf_source(spark, str(f)).columns) == {"s", "p", "o", "g"}
+
+
+def test_nquads_through_quad_pipeline(spark, tmp_path):
+    """A parsed .nq feeds the quad pipeline: G section encoded,
+    quads_spog published, GRAPH query answers match the file."""
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import run_pipeline
+    from qendpoint_spark.sources import read_nquads
+
+    nq = (
+        "<http://ex/a> <http://ex/p> <http://ex/b> <http://ex/g1> .\n"
+        "<http://ex/a> <http://ex/p> <http://ex/c> <http://ex/g2> .\n"
+        "<http://ex/b> <http://ex/q> \"v\" <http://ex/g1> .\n"
+    )
+    f = tmp_path / "quads.nq"
+    f.write_text(nq)
+    quads = read_nquads(spark, str(f))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(
+        spark, cat, source_df=quads, source_kind="triples",
+        source_fingerprint="nq-test", num_partitions=2, with_stats=False,
+    )
+    from qendpoint_spark.sparql import SparqlEngine
+
+    eng = SparqlEngine(
+        cat.read("triples_spo"),
+        cat.read("dict_terms"),
+        quads=cat.read("quads_spog"),
+    )
+    out = eng.query(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://ex/p> ?o } }"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("http://ex/g1", "http://ex/a"),
+        ("http://ex/g2", "http://ex/a"),
+    ]
