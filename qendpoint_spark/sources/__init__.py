@@ -12,6 +12,7 @@ from qendpoint_spark.sources.ntriples import (
     read_ntriples_dir,
     read_rdf_source,
 )
+from qendpoint_spark.sources.turtle import parse_turtle, read_turtle
 
 __all__ = [
     "delta_file_entries",
@@ -24,4 +25,6 @@ __all__ = [
     "read_ntriples_archive",
     "read_ntriples_dir",
     "read_rdf_source",
+    "parse_turtle",
+    "read_turtle",
 ]

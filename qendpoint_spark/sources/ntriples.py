@@ -242,6 +242,8 @@ def guess_format(path: str) -> str:
         return "ntriples"
     if p.endswith((".nq", ".nquads")):
         return "nquads"
+    if p.endswith((".ttl", ".turtle")):
+        return "turtle"
     if p.endswith(".zip") or p.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
         return "archive"
     if p.endswith(".parquet"):
@@ -270,6 +272,10 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
         return read_ntriples(spark, path)
     if kind == "nquads":
         return read_nquads(spark, path)
+    if kind == "turtle":
+        from qendpoint_spark.sources.turtle import read_turtle
+
+        return read_turtle(spark, path)
     if kind == "archive":
         return read_ntriples_archive(spark, path)
     if kind == "deltafile":

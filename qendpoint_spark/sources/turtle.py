@@ -1,0 +1,360 @@
+"""Turtle (.ttl) ingest.
+
+Reference: RDFNotation.TURTLE parsed through Jena RIOT
+(core/rdf/parsers/RDFParserRIOT.java:30-80). Spark has no Turtle
+reader, and Turtle is stateful (prefix directives, multi-line
+statements), so parsing is per-FILE: files load as `binaryFile` rows
+(parallel ACROSS files — shard big dumps, as crawl exports already do)
+and an Arrow-batched `mapInPandas` runs the pure-Python recursive-
+descent parser below, emitting (s, p, o) rows in the engine's internal
+lexical forms (bare IRIs, '"v"', '"v"@lang', '"v"^^<dt>', '_:b0').
+
+Grammar coverage (W3C Turtle): @prefix/@base + SPARQL-style
+PREFIX/BASE, `a`, predicate-object lists `;`, object lists `,`,
+blank-node property lists `[ ... ]`, collections `( ... )` (expanded
+to rdf:first/rest/nil), numeric/boolean shorthand literals, long
+strings (triple quotes), comments, and \\u / string escapes. Unknown
+syntax fails loudly with line context (the repo's error contract) —
+notably there is no support for the rare `GRAPH`-less TriG extensions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_TOKEN = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<LONG_STRING>\"\"\"(?:(?:"|"")?(?:[^"\\]|\\.))*\"\"\"|'''(?:(?:'|'')?(?:[^'\\]|\\.))*''')
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DOUBLECARET>\^\^)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+  | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%\\][A-Za-z_0-9.:%\\-]*|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9][A-Za-z_0-9.-]*|:)
+  | (?P<KEYWORD>@?[A-Za-z][A-Za-z_0-9]*)
+  | (?P<PUNCT>[\[\]().;,])
+    """,
+    re.VERBOSE,
+)
+
+_STR_ESCAPES = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(s: str) -> str:
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u" and i + 6 <= n:
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= n:
+                out.append(chr(int(s[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            if nxt in _STR_ESCAPES:
+                out.append(_STR_ESCAPES[nxt])
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _quote(value: str) -> str:
+    """Internal literal form: '"<raw value>"' — the engine stores RAW
+    characters (the N-Triples parser unescapes on the way in and the
+    exporter re-escapes on the way out, encoding/header.py)."""
+    return '"' + value + '"'
+
+
+class TurtleParser:
+    """One-file recursive-descent Turtle parser -> list of (s,p,o)."""
+
+    def __init__(self, text: str, bnode_prefix: str = "b"):
+        self.toks: list[tuple[str, str, int]] = []
+        line = 1
+        i = 0
+        while i < len(text):
+            m = _TOKEN.match(text, i)
+            if m is None:
+                raise SyntaxError(
+                    f"turtle: cannot tokenize at line {line}: "
+                    f"{text[i:i + 30]!r}"
+                )
+            kind = m.lastgroup
+            tok = m.group()
+            if kind != "WS":
+                self.toks.append((kind, tok, line))
+            line += tok.count("\n")
+            i = m.end()
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list[tuple[str, str, str]] = []
+        self._bn = 0
+        self._bnp = bnode_prefix
+
+    # -- token helpers ---------------------------------------------------
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("EOF", "", -1)
+
+    def _next(self):
+        t = self._peek()
+        if t[0] == "EOF":
+            raise SyntaxError("turtle: unexpected end of file")
+        self.i += 1
+        return t
+
+    def _expect_punct(self, ch: str):
+        k, v, ln = self._next()
+        if not (k == "PUNCT" and v == ch):
+            raise SyntaxError(f"turtle line {ln}: expected {ch!r}, got {v!r}")
+
+    def _new_bnode(self) -> str:
+        self._bn += 1
+        return f"_:{self._bnp}{self._bn}"
+
+    # -- grammar ---------------------------------------------------------
+
+    def parse(self) -> list[tuple[str, str, str]]:
+        while self._peek()[0] != "EOF":
+            k, v, ln = self._peek()
+            # "@prefix"/"@base" lex as LANGTAG (the @xxx rule wins)
+            if k in ("KEYWORD", "LANGTAG") and v.lower() in (
+                "@prefix",
+                "@base",
+            ):
+                self._directive(v.lower()[1:], turtle_style=True)
+            elif k == "KEYWORD" and v.upper() in ("PREFIX", "BASE"):
+                self._directive(v.upper().lower(), turtle_style=False)
+            else:
+                self._statement()
+        return self.triples
+
+    def _directive(self, which: str, turtle_style: bool):
+        self._next()  # the keyword
+        if which == "prefix":
+            k, v, ln = self._next()
+            if k != "PNAME" or not v.endswith(":"):
+                raise SyntaxError(f"turtle line {ln}: bad prefix name {v!r}")
+            name = v[:-1]
+            k2, iri, ln2 = self._next()
+            if k2 != "IRIREF":
+                raise SyntaxError(f"turtle line {ln2}: bad prefix IRI {iri!r}")
+            self.prefixes[name] = self._resolve(iri[1:-1])
+        else:  # base
+            k2, iri, ln2 = self._next()
+            if k2 != "IRIREF":
+                raise SyntaxError(f"turtle line {ln2}: bad base IRI {iri!r}")
+            self.base = self._resolve(iri[1:-1])
+        if turtle_style:
+            self._expect_punct(".")
+
+    def _resolve(self, iri: str) -> str:
+        if self.base and "://" not in iri and not iri.startswith("urn:"):
+            return self.base + iri
+        return iri
+
+    def _statement(self):
+        subj = self._subject()
+        self._predicate_object_list(subj)
+        self._expect_punct(".")
+
+    def _subject(self) -> str:
+        k, v, ln = self._peek()
+        if k == "PUNCT" and v == "[":
+            return self._bnode_property_list()
+        if k == "PUNCT" and v == "(":
+            return self._collection()
+        return self._term(position="subject")
+
+    def _predicate_object_list(self, subj: str):
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._object()
+                self.triples.append((subj, pred, obj))
+                k, v, _ = self._peek()
+                if k == "PUNCT" and v == ",":
+                    self._next()
+                    continue
+                break
+            k, v, _ = self._peek()
+            if k == "PUNCT" and v == ";":
+                self._next()
+                # trailing ; before . or ] is legal
+                k2, v2, _ = self._peek()
+                if k2 == "PUNCT" and v2 in (".", "]"):
+                    return
+                continue
+            return
+
+    def _predicate(self) -> str:
+        k, v, ln = self._peek()
+        if k == "KEYWORD" and v == "a":
+            self._next()
+            return RDF_NS + "type"
+        t = self._term(position="predicate")
+        if t.startswith('"') or t.startswith("_:"):
+            raise SyntaxError(f"turtle line {ln}: predicate must be an IRI")
+        return t
+
+    def _object(self) -> str:
+        k, v, ln = self._peek()
+        if k == "PUNCT" and v == "[":
+            return self._bnode_property_list()
+        if k == "PUNCT" and v == "(":
+            return self._collection()
+        return self._term(position="object")
+
+    def _bnode_property_list(self) -> str:
+        self._expect_punct("[")
+        node = self._new_bnode()
+        k, v, _ = self._peek()
+        if not (k == "PUNCT" and v == "]"):
+            self._predicate_object_list(node)
+        self._expect_punct("]")
+        return node
+
+    def _collection(self) -> str:
+        self._expect_punct("(")
+        items: list[str] = []
+        while True:
+            k, v, _ = self._peek()
+            if k == "PUNCT" and v == ")":
+                self._next()
+                break
+            items.append(self._object())
+        if not items:
+            return RDF_NS + "nil"
+        head = self._new_bnode()
+        cur = head
+        for j, it in enumerate(items):
+            self.triples.append((cur, RDF_NS + "first", it))
+            if j == len(items) - 1:
+                self.triples.append((cur, RDF_NS + "rest", RDF_NS + "nil"))
+            else:
+                nxt = self._new_bnode()
+                self.triples.append((cur, RDF_NS + "rest", nxt))
+                cur = nxt
+        return head
+
+    def _term(self, position: str) -> str:
+        k, v, ln = self._next()
+        if k == "IRIREF":
+            return self._resolve(_unescape(v[1:-1]))
+        if k == "PNAME":
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise SyntaxError(
+                    f"turtle line {ln}: undeclared prefix {pfx!r}"
+                )
+            return self.prefixes[pfx] + local.replace("\\", "")
+        if k == "BLANK":
+            return v
+        if k in ("STRING", "LONG_STRING"):
+            raw = v[3:-3] if k == "LONG_STRING" else v[1:-1]
+            value = _unescape(raw)
+            nk, nv, _ = self._peek()
+            if nk == "LANGTAG":
+                self._next()
+                return _quote(value) + nv
+            if nk == "DOUBLECARET":
+                self._next()
+                dk, dv, dln = self._next()
+                if dk == "IRIREF":
+                    dt = self._resolve(_unescape(dv[1:-1]))
+                elif dk == "PNAME":
+                    pfx, _, local = dv.partition(":")
+                    if pfx not in self.prefixes:
+                        raise SyntaxError(
+                            f"turtle line {dln}: undeclared prefix {pfx!r}"
+                        )
+                    dt = self.prefixes[pfx] + local
+                else:
+                    raise SyntaxError(
+                        f"turtle line {dln}: bad datatype {dv!r}"
+                    )
+                return _quote(value) + f"^^<{dt}>"
+            return _quote(value)
+        if k == "NUMBER":
+            if "e" in v.lower():
+                dt = "double"
+            elif "." in v:
+                dt = "decimal"
+            else:
+                dt = "integer"
+            return f'"{v}"^^<{XSD}{dt}>'
+        if k == "KEYWORD" and v.lower() in ("true", "false"):
+            return f'"{v.lower()}"^^<{XSD}boolean>'
+        raise SyntaxError(
+            f"turtle line {ln}: unexpected {v!r} in {position} position"
+        )
+
+
+def parse_turtle(text: str, bnode_prefix: str = "b") -> list[tuple[str, str, str]]:
+    return TurtleParser(text, bnode_prefix).parse()
+
+
+def read_turtle(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Turtle file(s) -> triples_str(s, p, o). One task per file
+    (Turtle is stateful; cross-file parallelism like every
+    non-splittable source). Per-file bnode labels are namespaced by a
+    hash of the file path so bnodes never collide across files —
+    mirroring RIOT's per-parser bnode scoping."""
+    import pandas as pd
+
+    def expand(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows_s: list[str] = []
+            rows_p: list[str] = []
+            rows_o: list[str] = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                low = fname.lower()
+                if low.endswith(".gz"):
+                    import gzip
+
+                    data = gzip.decompress(data)
+                elif low.endswith(".bz2"):
+                    import bz2
+
+                    data = bz2.decompress(data)
+                elif low.endswith((".xz", ".lzma")):
+                    import lzma
+
+                    data = lzma.decompress(data)
+                tag = hashlib.sha256(fname.encode()).hexdigest()[:8]
+                for s, p, o in parse_turtle(
+                    data.decode("utf-8"), bnode_prefix=f"f{tag}_"
+                ):
+                    rows_s.append(s)
+                    rows_p.append(p)
+                    rows_o.append(o)
+            yield pd.DataFrame({"s": rows_s, "p": rows_p, "o": rows_o})
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+    return blobs.mapInPandas(expand, "s string, p string, o string")
