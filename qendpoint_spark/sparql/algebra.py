@@ -728,25 +728,50 @@ class SparqlEngine:
                 ),
                 bn,
             )
-            if not (isinstance(tp.s, Var) and isinstance(tp.o, Var)):
-                raise NotImplementedError(
-                    "zero-or-more paths need variable endpoints"
+            spark = self.spo.sparkSession
+
+            def const_lex(x) -> str:
+                t = x.as_term() if isinstance(x, NumLit) else x
+                return t.lex
+
+            if isinstance(tp.s, Var) and isinstance(tp.o, Var):
+                sv, ov = tp.s.name, tp.o.name
+                zero_src = _BFrame(
+                    self.spo.select(
+                        F.col("s").alias(sv), F.col("s").alias(ov)
+                    ).distinct(),
+                    {sv: "s", ov: "s"},
                 )
-            sv, ov = tp.s.name, tp.o.name
-            zero_src = _BFrame(
-                self.spo.select(
-                    F.col("s").alias(sv), F.col("s").alias(ov)
-                ).distinct(),
-                {sv: "s", ov: "s"},
-            )
-            zero_dst = _BFrame(
-                self.ops.select(
-                    F.col("o").alias(sv), F.col("o").alias(ov)
-                ).distinct(),
-                {sv: "o", ov: "o"},
-            )
-            u = self._union([plus, zero_src, zero_dst])
-            u.df = u.df.dropDuplicates(sorted(u.kinds))
+                zero_dst = _BFrame(
+                    self.ops.select(
+                        F.col("o").alias(sv), F.col("o").alias(ov)
+                    ).distinct(),
+                    {sv: "o", ov: "o"},
+                )
+                u = self._union([plus, zero_src, zero_dst])
+            elif isinstance(tp.s, Var) or isinstance(tp.o, Var):
+                # one constant endpoint: the zero-length path binds the
+                # variable to THAT term (one term-kind row; _union
+                # reconciles against the plus-half's id binding)
+                var = (tp.s if isinstance(tp.s, Var) else tp.o).name
+                lex = const_lex(tp.o if isinstance(tp.s, Var) else tp.s)
+                zero = _BFrame(
+                    spark.createDataFrame([(lex,)], f"{var} string"),
+                    {var: "term"},
+                )
+                u = self._union([plus, zero])
+            else:
+                # both constant: zero-length matches iff the terms are
+                # equal; keep the plus-half's existence-frame shape
+                if const_lex(tp.s) == const_lex(tp.o):
+                    aux = plus.df.columns[0]
+                    one = spark.range(1).select(F.lit(1).alias(aux))
+                    u = _BFrame(
+                        plus.df.unionByName(one), dict(plus.kinds)
+                    )
+                else:
+                    u = plus
+            u.df = u.df.dropDuplicates(sorted(u.kinds) or None)
             return u
         edges, src_role, dst_role = self._compile_path(tp.p)
         kinds: dict = {}

@@ -823,3 +823,19 @@ def test_parser_in_and_not_in():
     )
     f = [e for e in q.where.elements if hasattr(e, "expr")][0].expr
     assert isinstance(f, UnaryOp) and f.op == "!"
+
+
+def test_engine_star_path_constant_endpoints(chain_engine):
+    # <e1> n* ?x: reachable set {e2,e3} plus the zero-length {e1}
+    out = chain_engine.query("SELECT ?b WHERE { <e1> <n>* ?b }")
+    assert _rows(out) == [("e1",), ("e2",), ("e3",)]
+    # ?a n* <e3>: ancestors {e1,e2} plus zero {e3}
+    out = chain_engine.query("SELECT ?a WHERE { ?a <n>* <e3> }")
+    assert _rows(out) == [("e1",), ("e2",), ("e3",)]
+    # zero-or-one from a constant
+    out = chain_engine.query("SELECT ?b WHERE { <e1> <n>? ?b }")
+    assert _rows(out) == [("e1",), ("e2",)]
+    # both-constant: zero-length (same term) and via-edges and neither
+    assert chain_engine.query("ASK { <d1> <n>* <d1> }").collect()[0][0]
+    assert chain_engine.query("ASK { <e1> <n>* <e3> }").collect()[0][0]
+    assert not chain_engine.query("ASK { <d1> <n>* <e3> }").collect()[0][0]
