@@ -133,7 +133,14 @@ def q_kg_hdt_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_")
     write_hdt(_dict(spark, sf_dir), _enc(spark, sf_dir), path)
-    d2, enc2 = hdt_to_dataframes(spark, path)
+    try:
+        # read_hdt parses eagerly into driver lists, so the file can
+        # be deleted before the lazy decode runs
+        d2, enc2 = hdt_to_dataframes(spark, path)
+    finally:
+        import os
+
+        os.unlink(path)
     return decode_triples(enc2, d2).distinct()
 
 
