@@ -12,7 +12,12 @@ from qendpoint_spark.sources.ntriples import (
     read_ntriples_dir,
     read_rdf_source,
 )
-from qendpoint_spark.sources.turtle import parse_turtle, read_turtle
+from qendpoint_spark.sources.turtle import (
+    parse_trig,
+    parse_turtle,
+    read_trig,
+    read_turtle,
+)
 
 __all__ = [
     "delta_file_entries",
@@ -25,6 +30,8 @@ __all__ = [
     "read_ntriples_archive",
     "read_ntriples_dir",
     "read_rdf_source",
+    "parse_trig",
     "parse_turtle",
+    "read_trig",
     "read_turtle",
 ]

@@ -244,6 +244,8 @@ def guess_format(path: str) -> str:
         return "nquads"
     if p.endswith((".ttl", ".turtle")):
         return "turtle"
+    if p.endswith(".trig"):
+        return "trig"
     if p.endswith(".zip") or p.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
         return "archive"
     if p.endswith(".parquet"):
@@ -276,6 +278,10 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
         from qendpoint_spark.sources.turtle import read_turtle
 
         return read_turtle(spark, path)
+    if kind == "trig":
+        from qendpoint_spark.sources.turtle import read_trig
+
+        return read_trig(spark, path)
     if kind == "archive":
         return read_ntriples_archive(spark, path)
     if kind == "deltafile":

@@ -39,7 +39,7 @@ _TOKEN = re.compile(
   | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
   | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%\\][A-Za-z_0-9.:%\\-]*|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9][A-Za-z_0-9.-]*|:)
   | (?P<KEYWORD>@?[A-Za-z][A-Za-z_0-9]*)
-  | (?P<PUNCT>[\[\]().;,])
+  | (?P<PUNCT>[\[\]().;,{}])
     """,
     re.VERBOSE,
 )
@@ -311,6 +311,121 @@ class TurtleParser:
 
 def parse_turtle(text: str, bnode_prefix: str = "b") -> list[tuple[str, str, str]]:
     return TurtleParser(text, bnode_prefix).parse()
+
+
+class TriGParser(TurtleParser):
+    """TriG = Turtle + named-graph blocks (W3C TriG):
+
+        [GRAPH] (iri|bnode) { triples }   named graph
+        { triples }                       default-graph block
+        <plain turtle statement>          default graph
+
+    Produces (s, p, o, g) with g=None for default-graph statements.
+    The reference reads .trig through the same RIOT entry point as
+    Turtle (RDFNotation.TRIG)."""
+
+    def __init__(self, text: str, bnode_prefix: str = "b"):
+        super().__init__(text, bnode_prefix)
+        self.quads: list[tuple[str, str, str, str | None]] = []
+
+    def parse_quads(self) -> list[tuple[str, str, str, str | None]]:
+        while self._peek()[0] != "EOF":
+            k, v, ln = self._peek()
+            if k in ("KEYWORD", "LANGTAG") and v.lower() in (
+                "@prefix",
+                "@base",
+            ):
+                self._directive(v.lower()[1:], turtle_style=True)
+                continue
+            if k == "KEYWORD" and v.upper() in ("PREFIX", "BASE"):
+                self._directive(v.upper().lower(), turtle_style=False)
+                continue
+            if k == "KEYWORD" and v.upper() == "GRAPH":
+                self._next()
+                label = self._graph_label()
+                self._graph_block(label)
+                continue
+            if k == "PUNCT" and v == "{":  # unlabeled default block
+                self._graph_block(None)
+                continue
+            # graph label directly followed by a block, or a plain
+            # turtle statement in the default graph
+            mark_tok = self.i
+            mark_tr = len(self.triples)
+            try:
+                label = self._graph_label()
+            except SyntaxError:
+                label = None
+                self.i = mark_tok
+            if label is not None and self._peek()[1] == "{":
+                self._graph_block(label)
+                continue
+            self.i = mark_tok
+            del self.triples[mark_tr:]
+            self._statement()
+            self._flush(None)
+        return self.quads
+
+    def _graph_label(self) -> str:
+        k, v, ln = self._peek()
+        if k == "BLANK":
+            self._next()
+            return v
+        if k in ("IRIREF", "PNAME"):
+            return self._term(position="graph label")
+        raise SyntaxError(f"trig line {ln}: expected a graph label")
+
+    def _graph_block(self, label: str | None):
+        self._expect_punct("{")
+        while not (self._peek()[0] == "PUNCT" and self._peek()[1] == "}"):
+            mark = len(self.triples)
+            subj = self._subject()
+            self._predicate_object_list(subj)
+            k, v, _ = self._peek()
+            if k == "PUNCT" and v == ".":
+                self._next()
+        self._expect_punct("}")
+        self._flush(label)
+
+    def _flush(self, label: str | None):
+        for s, p, o in self.triples:
+            self.quads.append((s, p, o, label))
+        self.triples.clear()
+
+
+def parse_trig(
+    text: str, bnode_prefix: str = "b"
+) -> list[tuple[str, str, str, str | None]]:
+    return TriGParser(text, bnode_prefix).parse_quads()
+
+
+def read_trig(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """TriG file(s) -> (s, p, o, g) with g NULL for default-graph
+    statements; same per-file parallelism and bnode scoping as
+    read_turtle."""
+    import pandas as pd
+
+    def expand(batches):
+        import hashlib
+
+        for pdf in batches:
+            cols: dict[str, list] = {"s": [], "p": [], "o": [], "g": []}
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                tag = hashlib.sha256(fname.encode()).hexdigest()[:8]
+                for s, p, o, g in parse_trig(
+                    data.decode("utf-8"), bnode_prefix=f"f{tag}_"
+                ):
+                    cols["s"].append(s)
+                    cols["p"].append(p)
+                    cols["o"].append(o)
+                    cols["g"].append(g)
+            yield pd.DataFrame(cols)
+
+    blobs = (
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
+    return blobs.mapInPandas(expand, "s string, p string, o string, g string")
 
 
 def read_turtle(spark: SparkSession, path: str | list[str]) -> DataFrame:

@@ -102,3 +102,57 @@ def test_read_turtle_spark_and_pipeline(spark, tmp_path):
         ).collect()
     }
     assert decoded == rows
+
+
+def test_parse_trig_blocks():
+    from qendpoint_spark.sources import parse_trig
+
+    trig = """
+    @prefix ex: <http://ex/> .
+    ex:s0 ex:p ex:o0 .
+    GRAPH ex:g1 { ex:a ex:p ex:b . ex:a ex:q "v" }
+    ex:g2 { ex:c ex:p ex:d . }
+    { ex:e ex:p ex:f . }
+    _:gb { ex:h ex:p ex:i }
+    """
+    got = set(parse_trig(trig))
+    assert got == {
+        ("http://ex/s0", "http://ex/p", "http://ex/o0", None),
+        ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g1"),
+        ("http://ex/a", "http://ex/q", '"v"', "http://ex/g1"),
+        ("http://ex/c", "http://ex/p", "http://ex/d", "http://ex/g2"),
+        ("http://ex/e", "http://ex/p", "http://ex/f", None),
+        ("http://ex/h", "http://ex/p", "http://ex/i", "_:gb"),
+    }
+
+
+def test_read_trig_quad_pipeline(spark, tmp_path):
+    """A .trig file feeds the quad pipeline and answers GRAPH queries."""
+    (tmp_path / "d.trig").write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "GRAPH ex:g1 { ex:a ex:p ex:b . }\n"
+        "GRAPH ex:g2 { ex:a ex:p ex:c . }\n"
+    )
+    from qendpoint_spark.catalog import Catalog
+    from qendpoint_spark.pipeline import run_pipeline
+    from qendpoint_spark.sources import read_rdf_source
+    from qendpoint_spark.sparql import SparqlEngine
+
+    quads = read_rdf_source(spark, str(tmp_path / "d.trig"))
+    assert set(quads.columns) == {"s", "p", "o", "g"}
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run_pipeline(
+        spark, cat, source_df=quads, source_kind="triples",
+        source_fingerprint="trig-test", num_partitions=2, with_stats=False,
+    )
+    eng = SparqlEngine(
+        cat.read("triples_spo"), cat.read("dict_terms"),
+        quads=cat.read("quads_spog"),
+    )
+    out = eng.query(
+        "SELECT ?g ?o WHERE { GRAPH ?g { <http://ex/a> <http://ex/p> ?o } }"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("http://ex/g1", "http://ex/b"),
+        ("http://ex/g2", "http://ex/c"),
+    ]
