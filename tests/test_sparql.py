@@ -839,3 +839,45 @@ def test_engine_star_path_constant_endpoints(chain_engine):
     assert chain_engine.query("ASK { <d1> <n>* <d1> }").collect()[0][0]
     assert chain_engine.query("ASK { <e1> <n>* <e3> }").collect()[0][0]
     assert not chain_engine.query("ASK { <d1> <n>* <e3> }").collect()[0][0]
+
+
+def test_engine_conformance_mini_suite(chain_engine):
+    """A breadth net of small SPARQL 1.1 behaviors in one pass (the
+    engines are module-cached, so each case is cheap): every case is a
+    (query, expected-rows) pair over the chain fixture."""
+    e = chain_engine.query
+    cases = [
+        # COUNT DISTINCT vs COUNT
+        ("SELECT (COUNT(?o) AS ?n) (COUNT(DISTINCT ?o) AS ?d) "
+         "WHERE { ?s <m> ?o }", [(2, 1)]),
+        # nested OPTIONAL
+        ("SELECT ?s ?x ?y WHERE { ?s <n> ?o "
+         "OPTIONAL { ?s <t> ?x OPTIONAL { ?x <n> ?y } } }",
+         [("e1", None, None), ("e2", None, None)]),
+        # UNION of paths with LIMIT/OFFSET paging determinism
+        ("SELECT ?a WHERE { { ?a <m> ?v } UNION { ?a <t> ?v } } "
+         "ORDER BY ?a LIMIT 2 OFFSET 1", [("d2",), ("e3",)]),
+        # FILTER on LANG of a constant-bound var, and BOUND
+        ("SELECT ?s WHERE { ?s <n> ?o . FILTER(BOUND(?s) && !BOUND(?z)) }",
+         [("e1",), ("e2",)]),
+        # expression in ORDER BY (not a bare var)
+        ("SELECT ?a WHERE { ?a <m> ?v } ORDER BY DESC(STRLEN(STR(?a))) "
+         "LIMIT 1", [("d1",)]),
+        # IN over IRIs + NOT IN exclusion
+        ("SELECT ?s WHERE { ?s <n> ?o . FILTER(?s IN (<e1>, <zz>)) }",
+         [("e1",)]),
+        ("SELECT ?s WHERE { ?s <n> ?o . FILTER(?s NOT IN (<e1>)) }",
+         [("e2",)]),
+        # VALUES joined after OPTIONAL (compat join both directions)
+        ("SELECT ?s WHERE { ?s <n> ?o . VALUES ?s { <e1> UNDEF } }",
+         [("e1",), ("e1",), ("e2",)]),
+        # ASK false on empty pattern; true on existing
+        ("ASK { <e1> <n>/<n> <e3> }", [(True,)]),
+        ("ASK { <e3> <n> ?x }", [(False,)]),
+        # CONSTRUCT with constant predicate template
+        ("CONSTRUCT { ?a <linked> ?b } WHERE { ?a <n> ?b }",
+         [("e1", "linked", "e2"), ("e2", "linked", "e3")]),
+    ]
+    for q, want in cases:
+        got = _rows(e(q))
+        assert got == sorted(want), f"query failed: {q}\n got {got}"
