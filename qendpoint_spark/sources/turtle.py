@@ -378,7 +378,6 @@ class TriGParser(TurtleParser):
     def _graph_block(self, label: str | None):
         self._expect_punct("{")
         while not (self._peek()[0] == "PUNCT" and self._peek()[1] == "}"):
-            mark = len(self.triples)
             subj = self._subject()
             self._predicate_object_list(subj)
             k, v, _ = self._peek()
