@@ -85,7 +85,25 @@ def write_hdt(
     dict_terms: (term, section SH|S|O|P, sec_rank, id) — the repo's
     standard dictionary table. enc: (s, p, o) global-id triples.
     Returns the per-part byte sizes (for hdtinfo-style reporting).
+
+    Quads are refused loudly: the basic HDT container has no graph
+    layer, so silently collapsing named graphs would lose data (use the
+    HDTQ writer, write_hdtq, for quad datasets).
     """
+    if "g" in enc.columns:
+        raise ValueError(
+            "write_hdt: encoded triples carry a 'g' (graph) column; the "
+            "basic HDT container cannot represent quads — use write_hdtq"
+        )
+    g_sections = [
+        r["section"]
+        for r in dict_terms.select("section").distinct().collect()
+    ]
+    if "G" in g_sections:
+        raise ValueError(
+            "write_hdt: dictionary contains a G (graph) section; the "
+            "basic HDT container cannot represent quads — use write_hdtq"
+        )
     sections = {sec: list(_section_terms(dict_terms, sec)) for sec in _SECTION_ORDER}
     counts = {sec: len(terms) for sec, terms in sections.items()}
 

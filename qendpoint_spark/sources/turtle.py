@@ -35,14 +35,16 @@ _TOKEN = re.compile(
   | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<DOUBLECARET>\^\^)
-  | (?P<NUMBER>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
-  | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
-  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%\\][A-Za-z_0-9.:%\\-]*|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9][A-Za-z_0-9.-]*|:)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d+\.\d+|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+  | (?P<BLANK>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9:%\\](?:[A-Za-z_0-9.:%\\-]*[A-Za-z_0-9:%\\-])?|[A-Za-z_][A-Za-z_0-9.-]*?:|:[A-Za-z_0-9](?:[A-Za-z_0-9.-]*[A-Za-z_0-9-])?|:)
   | (?P<KEYWORD>@?[A-Za-z][A-Za-z_0-9]*)
   | (?P<PUNCT>[\[\]().;,{}])
     """,
     re.VERBOSE,
 )
+
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 _STR_ESCAPES = {
     "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
@@ -168,9 +170,23 @@ class TurtleParser:
             self._expect_punct(".")
 
     def _resolve(self, iri: str) -> str:
-        if self.base and "://" not in iri and not iri.startswith("urn:"):
-            return self.base + iri
-        return iri
+        # Absolute IRIs (any scheme: http, mailto, tel, doi, urn, ...)
+        # pass through untouched; only genuinely relative references are
+        # merged onto @base per RFC 3986.
+        if _SCHEME.match(iri) or not self.base:
+            return iri
+        m = _SCHEME.match(self.base)
+        if not m:
+            raise SyntaxError(
+                f"turtle: @base {self.base!r} is not an absolute IRI"
+            )
+        scheme = m.group(0)[:-1]
+        # urljoin implements the RFC 3986 merge but only for schemes it
+        # knows use relative refs; borrow http's rules, restore scheme.
+        from urllib.parse import urljoin
+
+        merged = urljoin("http:" + self.base[len(scheme) + 1 :], iri)
+        return scheme + merged[4:]
 
     def _statement(self):
         subj = self._subject()
@@ -398,6 +414,26 @@ def parse_trig(
     return TriGParser(text, bnode_prefix).parse_quads()
 
 
+def _decompress(fname: str, data: bytes) -> bytes:
+    """Codec sniff shared by read_turtle and read_trig: guess_format
+    strips .gz/.bz2/.xz suffixes when routing, so both readers must
+    decompress by suffix before decoding text."""
+    low = fname.lower()
+    if low.endswith(".gz"):
+        import gzip
+
+        return gzip.decompress(data)
+    if low.endswith(".bz2"):
+        import bz2
+
+        return bz2.decompress(data)
+    if low.endswith((".xz", ".lzma")):
+        import lzma
+
+        return lzma.decompress(data)
+    return data
+
+
 def read_trig(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """TriG file(s) -> (s, p, o, g) with g NULL for default-graph
     statements; same per-file parallelism and bnode scoping as
@@ -410,7 +446,7 @@ def read_trig(spark: SparkSession, path: str | list[str]) -> DataFrame:
         for pdf in batches:
             cols: dict[str, list] = {"s": [], "p": [], "o": [], "g": []}
             for fname, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
+                data = _decompress(fname, bytes(content))
                 tag = hashlib.sha256(fname.encode()).hexdigest()[:8]
                 for s, p, o, g in parse_trig(
                     data.decode("utf-8"), bnode_prefix=f"f{tag}_"
@@ -443,20 +479,7 @@ def read_turtle(spark: SparkSession, path: str | list[str]) -> DataFrame:
             rows_p: list[str] = []
             rows_o: list[str] = []
             for fname, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                low = fname.lower()
-                if low.endswith(".gz"):
-                    import gzip
-
-                    data = gzip.decompress(data)
-                elif low.endswith(".bz2"):
-                    import bz2
-
-                    data = bz2.decompress(data)
-                elif low.endswith((".xz", ".lzma")):
-                    import lzma
-
-                    data = lzma.decompress(data)
+                data = _decompress(fname, bytes(content))
                 tag = hashlib.sha256(fname.encode()).hexdigest()[:8]
                 for s, p, o in parse_turtle(
                     data.decode("utf-8"), bnode_prefix=f"f{tag}_"

@@ -154,3 +154,17 @@ def test_hdt_cat_merge_of_two_files(spark, tmp_path):
     d3, enc3 = hdt_to_dataframes(spark, out)
     got = sorted(tuple(r) for r in decode_triples(enc3, d3).collect())
     assert got == sorted(set(rows1) | set(rows2))
+
+
+def test_write_hdt_refuses_quads(spark, corpus, tmp_path):
+    """ADVICE r4: basic HDT has no graph layer — quads must fail loudly
+    instead of silently collapsing named graphs."""
+    tri, d, enc = corpus
+    enc_g = enc.withColumn("g", F.lit(1))
+    with pytest.raises(ValueError, match="quads"):
+        write_hdt(d, enc_g, str(tmp_path / "q.hdt"))
+    d_g = d.withColumn(
+        "section", F.when(F.col("section") == "P", "G").otherwise(F.col("section"))
+    )
+    with pytest.raises(ValueError, match="quads"):
+        write_hdt(d_g, enc, str(tmp_path / "q2.hdt"))

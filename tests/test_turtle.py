@@ -156,3 +156,54 @@ def test_read_trig_quad_pipeline(spark, tmp_path):
         ("http://ex/g1", "http://ex/b"),
         ("http://ex/g2", "http://ex/c"),
     ]
+
+
+def test_parse_turtle_base_rfc3986():
+    """ADVICE r4: absolute IRIs of any scheme survive @base; relative
+    refs merge per RFC 3986; terminating '.' needs no space."""
+    from qendpoint_spark.sources.turtle import parse_turtle
+
+    t = parse_turtle("@base <http://ex.org/data/> . <s1> <p> <mailto:x@y> .")
+    assert t == [("http://ex.org/data/s1", "http://ex.org/data/p", "mailto:x@y")]
+
+    t = parse_turtle("@base <http://ex.org/a/b/c> . </abs> <../up> <x> .")
+    assert t == [("http://ex.org/abs", "http://ex.org/a/up", "http://ex.org/a/b/x")]
+
+    t = parse_turtle("@base <urn:uuid:1/> . <doi:10.1/x> <tel:+1> <urn:o> .")
+    assert t == [("doi:10.1/x", "tel:+1", "urn:o")]
+
+
+def test_parse_turtle_tight_terminator():
+    """ADVICE r4: ':s :p :o.' / ':s :p 1.' / '<s> <p> _:b1.' are valid
+    Turtle (the '.' is the statement terminator, not part of the token)."""
+    from qendpoint_spark.sources.turtle import parse_turtle
+
+    assert parse_turtle("@prefix : <http://e/> . :s :p :o.") == [
+        ("http://e/s", "http://e/p", "http://e/o")
+    ]
+    t = parse_turtle("@prefix : <http://e/> . :s :p 1.")
+    assert t[0][2] == '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    t = parse_turtle("<http://e/s> <http://e/p> _:b1.")
+    assert t[0][2].startswith("_:")
+    # decimals/doubles unchanged, incl. empty-fraction DOUBLE
+    t = parse_turtle("<http://e/s> <http://e/p> 1.5 , 1.5e3 , .5 , 1.e3 .")
+    assert [x[2].rsplit("#", 1)[1] for x in t] == [
+        "decimal>", "double>", "decimal>", "double>"
+    ]
+
+
+def test_read_trig_gz(spark, tmp_path):
+    """ADVICE r4: compressed TriG routes through the shared codec sniff."""
+    import gzip
+
+    raw = (
+        "@prefix ex: <http://ex/> .\n"
+        "GRAPH ex:g1 { ex:a ex:p ex:b . }\n"
+    ).encode()
+    (tmp_path / "d.trig.gz").write_bytes(gzip.compress(raw))
+    from qendpoint_spark.sources.turtle import read_trig
+
+    rows = read_trig(spark, str(tmp_path / "d.trig.gz")).collect()
+    assert [(r.s, r.p, r.o, r.g) for r in rows] == [
+        ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g1")
+    ]
