@@ -144,6 +144,49 @@ def q_kg_hdt_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_triples(enc2, d2).distinct()
 
 
+def q_kg_hdt_msd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same proof for the MSD (`dictionaryMult`) container: serialize
+    with per-datatype object sections + the type-IRI section table
+    (MultipleSectionDictionary.java:123-206), parse back, decode. The
+    object ids are remapped to (datatype, value) order on write, so a
+    hash-match additionally proves the remap and its inverse."""
+    import tempfile
+
+    from qendpoint_spark.hdt import hdt_to_dataframes, write_hdt_msd
+
+    path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_msd_")
+    write_hdt_msd(_dict(spark, sf_dir), _enc(spark, sf_dir), path)
+    try:
+        d2, enc2 = hdt_to_dataframes(spark, path)
+    finally:
+        import os
+
+        os.unlink(path)
+    return decode_triples(enc2, d2).distinct()
+
+
+def q_kg_hdt_quads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDTQ round-trip: quad-grammar dataset -> FourQuad dictionary +
+    BitmapQuad triples with the per-graph MultiRoaringBitmap layer
+    (BitmapQuadTriples.java:206-219) -> parse -> decode (s,p,o,g)."""
+    import tempfile
+
+    from qendpoint_spark.hdt import hdt_to_dataframes, write_hdtq
+
+    base = quad_triples_str(_docs(spark, sf_dir)).dropDuplicates()
+    qdict = build_dictionary(base).localCheckpoint(eager=True)
+    encq = encode_triples(base, qdict, assume_distinct=True)
+    path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_hdtq_")
+    write_hdtq(qdict, encq, path)
+    try:
+        d2, enc2 = hdt_to_dataframes(spark, path)
+    finally:
+        import os
+
+        os.unlink(path)
+    return decode_triples(enc2, d2).distinct()
+
+
 def q_kg_shared_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _dict(spark, sf_dir)
@@ -605,6 +648,8 @@ QUERIES = {
     "kg_object_index": q_kg_object_index,
     "kg_decode_roundtrip": q_kg_decode_roundtrip,
     "kg_hdt_file_roundtrip": q_kg_hdt_file_roundtrip,
+    "kg_hdt_msd_roundtrip": q_kg_hdt_msd_roundtrip,
+    "kg_hdt_quads_roundtrip": q_kg_hdt_quads_roundtrip,
     "kg_shared_section": q_kg_shared_section,
     "kg_cat_identity": q_kg_cat_identity,
     "kg_cat_incremental": q_kg_cat_incremental,
@@ -766,7 +811,7 @@ survivors AS (
     + "SELECT s, p, o FROM enc"
 )
 
-_QUAD_ORACLE = """
+_QUADS_CTE = """
 WITH quads AS (
   SELECT DISTINCT * FROM (
     SELECT 'http://example.org/doc/' || doc_id AS s,
@@ -781,7 +826,9 @@ WITH quads AS (
            'http://example.org/graph/' || source
     FROM documents
   )
-),
+)"""
+
+_QUAD_ORACLE = _QUADS_CTE + """,
 subs AS (SELECT DISTINCT s AS term FROM quads),
 objs AS (SELECT DISTINCT o AS term FROM quads),
 sh AS (SELECT term FROM subs INTERSECT SELECT term FROM objs),
@@ -951,6 +998,9 @@ ORACLES = {
     FROM enc GROUP BY o""",
     "kg_decode_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_hdt_file_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_hdt_msd_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_hdt_quads_roundtrip": _QUADS_CTE
+    + " SELECT DISTINCT s, p, o, g FROM quads",
     "kg_shared_section": _KG_PRELUDE
     + "SELECT term, id FROM dict WHERE section = 'SH'",
     "kg_cat_identity": _CAT_ORACLE,

@@ -17,9 +17,18 @@ Format sources (reference, file:line):
   - plain bitmaps:      core/compact/bitmap/Bitmap64Big.java:290-315
   - bitmap triples:     core/triples/impl/WriteBitmapTriples.java:79-98,202-309
   - vbyte + crcs:       core/compact/integer/VByte.java:84-93, util/crc/*.java
+  - MSD literals map:   core/dictionary/impl/MultipleSectionDictionary.java:123-206
+  - quad graph layer:   core/triples/impl/BitmapQuadTriples.java:206-219,
+                        core/compact/bitmap/MultiRoaringBitmap.java:173-215,362-395
 """
 
 from qendpoint_spark.hdt.reader import hdt_to_dataframes, read_hdt
-from qendpoint_spark.hdt.writer import write_hdt
+from qendpoint_spark.hdt.writer import write_hdt, write_hdt_msd, write_hdtq
 
-__all__ = ["write_hdt", "read_hdt", "hdt_to_dataframes"]
+__all__ = [
+    "write_hdt",
+    "write_hdt_msd",
+    "write_hdtq",
+    "read_hdt",
+    "hdt_to_dataframes",
+]

@@ -380,7 +380,10 @@ def read_control_info(buf: bytes, pos: int) -> tuple[int, str, dict, int]:
 # container vocabulary (HDTVocabulary.java)
 HDT_CONTAINER = "<http://purl.org/HDT/hdt#HDTv1>"
 DICT_FOUR = "<http://purl.org/HDT/hdt#dictionaryFour>"
+DICT_MULT = "<http://purl.org/HDT/hdt#dictionaryMult>"
+DICT_FOUR_QUAD = "<http://purl.org/HDT/hdt#dictionaryFourQuad>"
 TRIPLES_BITMAP = "<http://purl.org/HDT/hdt#triplesBitmap>"
+TRIPLES_BITMAP_QUAD = "<http://purl.org/HDT/hdt#triplesBitmapQuad>"
 HEADER_NTRIPLES = "ntriples"
 CI_GLOBAL, CI_HEADER, CI_DICTIONARY, CI_TRIPLES = 1, 2, 3, 4
 SPO_ORDINAL = 1  # TripleComponentOrder.SPO.ordinal()

@@ -112,14 +112,28 @@ def main() -> None:
     growth = (
         b["minhash_lsh_pairs"] / max(a["minhash_lsh_pairs"], 1)
     ) / (b["n_docs"] / a["n_docs"])
+    corpus_growth = b["n_docs"] / a["n_docs"]
     out = {
         "sf_dir": sf_dir,
         "small": a,
         "big": b,
         # 1.0 = perfectly linear candidate growth; >> 1 = superlinear
         "minhash_candidate_growth_vs_linear": round(growth, 3),
+        # wall-time growth normalized the same way (the round-4 anomaly
+        # was 8.0 here for minhash; gate target <= 2.0)
+        "minhash_wall_growth_vs_linear": round(
+            (b["sec"]["minhash"] / max(a["sec"]["minhash"], 0.1))
+            / corpus_growth,
+            3,
+        ),
+        "simhash_wall_growth_vs_linear": round(
+            (b["sec"]["simhash"] / max(a["sec"]["simhash"], 0.1))
+            / corpus_growth,
+            3,
+        ),
     }
-    path = os.path.join(REPO, "BENCH", "dedup_scale_probe.json")
+    fname = sys.argv[4] if len(sys.argv) > 4 else "dedup_scale_probe.json"
+    path = os.path.join(REPO, "BENCH", fname)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -83,7 +83,7 @@ def main() -> None:
         "dedup_exact": lambda: exact_dedup(docs),
         "dedup_minhash_lsh": lambda: minhash_lsh_pairs(docs, k=3),
         "dedup_ngram_jaccard": lambda: ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=64),
-        "dedup_simhash": lambda: simhash_table(docs, bits=32),
+        "dedup_simhash": lambda: simhash_table(docs),  # self-sized bits
         "text_stats": lambda: text_stats(docs),
         "sim_topk_bruteforce": lambda: brute_force_topk(emb, query_mod=997, k=5),
         "sim_topk_lsh": lambda: lsh_bucketed_topk(emb, query_mod=997, k=5),

@@ -168,3 +168,107 @@ def test_write_hdt_refuses_quads(spark, corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="quads"):
         write_hdt(d_g, enc, str(tmp_path / "q2.hdt"))
+
+
+def test_roaring_codec_roundtrip():
+    """Portable RoaringBitmap + MultiRoaringBitmap codecs (the HDTQ
+    graph layer, MultiRoaringBitmap.java:173-215/362-395)."""
+    import random
+
+    from qendpoint_spark.hdt import roaring as R
+
+    rng = random.Random(7)
+    for vals in (
+        [],
+        [0],
+        [5, 6, 7, 100000, 200000],
+        sorted(rng.sample(range(1 << 20), 9000)),
+        list(range(70000)),  # dense: bitmap containers
+    ):
+        blob = R.roaring_serialize(vals)
+        back, end = R.roaring_deserialize(blob)
+        assert back == vals and end == len(blob)
+    layers = [sorted(rng.sample(range(100000), 500)), [], [0, 99999]]
+    out = bytearray()
+    R.write_multi_roaring(out, layers, numbits=100000, chunk_size=4096)
+    back, numbits, end = R.read_multi_roaring(bytes(out), 0)
+    assert back == layers and numbits == 100000 and end == len(out)
+
+
+def test_hdt_msd_roundtrip(spark, corpus, tmp_path):
+    """MSD container: typed object sections + literals map + object-id
+    remap, byte-exact reserialize."""
+    import hashlib
+
+    from qendpoint_spark.encoding.encoder import decode_triples
+    from qendpoint_spark.hdt import read_hdt, write_hdt_msd
+
+    tri, d, enc = corpus
+    p1, p2 = str(tmp_path / "a.hdt"), str(tmp_path / "b.hdt")
+    write_hdt_msd(d, enc, p1)
+    parsed = read_hdt(p1)
+    keys = [k for k, _ in parsed["object_subsections"]]
+    assert keys == sorted(keys)  # TreeMap byte order
+    assert keys[-1] == "NO_DATATYPE"  # '<...>' types sort before it
+    d2, enc2 = hdt_to_dataframes(spark, p1)
+    back = {tuple(r) for r in decode_triples(enc2, d2).collect()}
+    assert back == {tuple(r) for r in tri.collect()}
+    write_hdt_msd(d2, enc2, p2)
+    assert (
+        hashlib.sha256(open(p1, "rb").read()).digest()
+        == hashlib.sha256(open(p2, "rb").read()).digest()
+    )
+
+
+def test_hdtq_roundtrip(spark, tmp_path):
+    """HDTQ container: G section + BitmapQuad graph layer; a triple
+    asserted in two graphs stays one SPO entry with two layer bits."""
+    import hashlib
+
+    from qendpoint_spark.dictionary import build_dictionary
+    from qendpoint_spark.encoding import encode_triples
+    from qendpoint_spark.encoding.encoder import decode_triples
+    from qendpoint_spark.hdt import hdt_to_dataframes, read_hdt, write_hdtq
+
+    quads = [
+        ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g1"),
+        ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g2"),
+        ("http://ex/a", "http://ex/q", '"9"^^<http://www.w3.org/2001/XMLSchema#integer>', "http://ex/g1"),
+        ("http://ex/c", "http://ex/p", "http://ex/a", "http://ex/g2"),
+    ]
+    q = spark.createDataFrame(quads, "s string, p string, o string, g string")
+    dq = build_dictionary(q)
+    encq = encode_triples(q, dq)
+    p1, p2 = str(tmp_path / "a.hdt"), str(tmp_path / "b.hdt")
+    sizes = write_hdtq(dq, encq, p1)
+    assert sizes["num_triples"] == 3 and sizes["num_graphs"] == 2
+    parsed = read_hdt(p1)
+    assert len(parsed["sections"]["G"]) == 2
+    assert sum(len(l) for l in parsed["graph_layers"]) == 4
+    d2, enc2 = hdt_to_dataframes(spark, p1)
+    back = {tuple(r) for r in decode_triples(enc2, d2).collect()}
+    assert back == set(quads)
+    write_hdtq(d2, enc2, p2)
+    assert (
+        hashlib.sha256(open(p1, "rb").read()).digest()
+        == hashlib.sha256(open(p2, "rb").read()).digest()
+    )
+
+
+def test_hdt_rejects_psfc_and_unknown_dict(tmp_path, spark, corpus):
+    """Loud fail on unsupported dictionary container formats (PSFC)."""
+    from qendpoint_spark.hdt import binary as B
+    from qendpoint_spark.hdt import read_hdt, write_hdt
+
+    tri, d, enc = corpus
+    path = str(tmp_path / "x.hdt")
+    write_hdt(d, enc, path)
+    buf = bytearray(open(path, "rb").read())
+    bad = buf.replace(
+        B.DICT_FOUR.encode(),
+        b"<http://purl.org/HDT/hdt#dictionaryFourPsfc>"[: len(B.DICT_FOUR)],
+    )
+    p2 = str(tmp_path / "bad.hdt")
+    open(p2, "wb").write(bad)
+    with pytest.raises((NotImplementedError, ValueError)):
+        read_hdt(p2)
