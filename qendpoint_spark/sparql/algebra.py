@@ -476,31 +476,109 @@ class SparqlEngine:
             acc, sub, "left_anti" if negated else "left_semi", exists=True
         )
 
+    # GRAPH ?g { <complex body> } evaluates the body once per named
+    # graph; above this many graphs the plan (a Catalyst union of that
+    # many subtrees) stops being reasonable and we fail loudly. Plain
+    # BGP+FILTER bodies never enumerate — they thread ?g through the
+    # quad scan and scale to any graph count.
+    max_graph_enum = 64
+
+    def _graph_scoped(self, gid: int) -> "SparqlEngine":
+        """Shallow engine copy whose default graph is one named graph:
+        spo/ops become the gid-filtered quad scan (the filter pushes to
+        the parquet scan), dataset-wide stats/pso are dropped. The
+        named-graph set (self.quads) is kept — a GRAPH nested inside a
+        GRAPH ranges over the dataset's graphs, not the outer one."""
+        import copy
+
+        scoped = copy.copy(self)
+        tri = (
+            self.quads.filter(F.col("g") == F.lit(gid))
+            .select("s", "p", "o")
+        )
+        scoped.spo = tri
+        scoped.ops = tri
+        scoped.pso = None
+        scoped.stats = None
+        return scoped
+
     def _compile_graph_group(self, gg: GraphGroup) -> _BFrame:
-        """GRAPH (iri|var) { triple patterns [FILTER...] } over the
-        encoded quads table: each pattern is a filtered scan of
-        (s,p,o,g) with the graph component bound (const gid) or
+        """GRAPH (iri|var) { group } over the encoded quads table.
+
+        Plain bodies (triple patterns + FILTER) thread the graph
+        component through each quad scan: bound (const gid) or
         projected (?g, kind 'g' — its own ID namespace, decoded via
-        the broadcast G section). Leaves join through the same
-        role-guarded _join as everything else."""
+        the broadcast G section); leaves join through the same
+        role-guarded _join as everything else, at any graph count.
+
+        Complex bodies (property paths, OPTIONAL/MINUS/UNION, nested
+        groups, BIND, subselects) compile through the ENTIRE group
+        machinery on a graph-scoped engine (`_graph_scoped`): for a
+        constant graph that is one pushed-down gid filter; for a graph
+        variable the body runs once per named graph (G section) and
+        the branches union, guarded by `max_graph_enum`. Reference
+        anchor: RDF4J evaluates these via its dataset-aware
+        StatementPattern scoping (qendpoint-store ComplianceTest.java
+        pins the W3C semantics)."""
         if self.quads is None:
             raise NotImplementedError(
                 "GRAPH patterns need a quads table: "
                 "SparqlEngine(..., quads=encoded_spog)"
             )
+        simple = all(
+            isinstance(el, FilterClause)
+            or (
+                isinstance(el, TriplePattern)
+                and isinstance(el.p, (Term, Var))
+            )
+            for el in gg.group.elements
+        )
+        if not simple:
+            if isinstance(gg.graph, Term):
+                gid = self._const_id("g", gg.graph.lex)
+                return self._graph_scoped(gid)._compile_group(gg.group)
+            from qendpoint_spark.dictionary.builder import graph_map
+
+            gids = [
+                int(r["gid"])
+                for r in graph_map(self.dict_terms)
+                .select("gid")
+                .collect()
+            ]
+            if len(gids) > self.max_graph_enum:
+                raise NotImplementedError(
+                    f"GRAPH ?{gg.graph.name} over a complex body "
+                    f"enumerates named graphs; {len(gids)} graphs "
+                    f"exceed max_graph_enum={self.max_graph_enum}. "
+                    "Raise engine.max_graph_enum, or rewrite the body "
+                    "as plain triple patterns (which scale to any "
+                    "graph count)."
+                )
+            if not gids:
+                bf = self._graph_scoped(-1)._compile_group(gg.group)
+                bf.df = bf.df.withColumn(
+                    gg.graph.name, F.lit(None).cast("long")
+                ).limit(0)
+                bf.kinds[gg.graph.name] = "g"
+                return bf
+            branches = []
+            for gid in sorted(gids):
+                bf = self._graph_scoped(gid)._compile_group(gg.group)
+                gname = gg.graph.name
+                if gname in bf.kinds:
+                    raise ValueError(
+                        f"GRAPH variable ?{gname} rebound inside body"
+                    )
+                bf.df = bf.df.withColumn(gname, F.lit(gid))
+                bf.kinds[gname] = "g"
+                branches.append(bf)
+            return self._union(branches)
         acc: _BFrame | None = None
         filters = []
         for el in gg.group.elements:
             if isinstance(el, FilterClause):
                 filters.append(el.expr)
                 continue
-            if not isinstance(el, TriplePattern) or not isinstance(
-                el.p, (Term, Var)
-            ):
-                raise NotImplementedError(
-                    "only plain triple patterns and FILTER are "
-                    "supported inside GRAPH"
-                )
             df = self.quads
             kinds: dict = {}
             var_pos: dict[str, str] = {}
@@ -1330,16 +1408,32 @@ class SparqlEngine:
         # expressions: _lex joins mutate bf.df, and an expression built
         # against an earlier frame must not be used in a later one
         for a in aggs:
-            if a.arg != "*" and a.func != "COUNT" and a.arg.name in bf.kinds:
+            if (
+                isinstance(a.arg, Var)
+                and a.func != "COUNT"
+                and a.arg.name in bf.kinds
+            ):
                 self._lex(bf, a.arg.name)
+        # computed aggregate args (SUM(?a * ?b), COUNT(STR(?o)), ...):
+        # materialize the expression as a pre-aggregation column, then
+        # aggregate it like a 'val'-kind variable
+        expr_args: dict[int, str] = {}
+        for i, a in enumerate(aggs):
+            if a.arg == "*" or isinstance(a.arg, Var):
+                continue
+            col, _ = self._expr(a.arg, bf)
+            name = f"__aggarg_{i}"
+            bf.df = bf.df.withColumn(name, col)
+            bf.kinds[name] = "val"
+            expr_args[i] = name
         exprs = []
         agg_kinds: dict[str, str] = {}
-        for a in aggs:
+        for i, a in enumerate(aggs):
             agg_kinds[a.alias] = "val"
             if a.arg == "*":
                 col = F.count(F.lit(1))
             else:
-                v = a.arg.name
+                v = expr_args.get(i) or a.arg.name
                 if v not in bf.kinds:
                     raise ValueError(f"aggregate over unbound ?{v}")
                 if a.func == "COUNT":

@@ -433,10 +433,10 @@ class _Parser:
         if self.at_op("*"):
             self.next()
             arg: object = "*"
-        elif self.peek().kind == "VAR":
-            arg = Var(self.next().text[1:])
         else:
-            self.err("aggregate argument must be a variable or *")
+            # full expression argument (SUM(?a * ?b), COUNT(STR(?o)),
+            # AVG(xsd:integer(?v)), ...); a bare ?v parses to Var
+            arg = self.parse_expr()
         sep = " "
         if self.at_op(";"):  # GROUP_CONCAT(?x; SEPARATOR="...")
             self.next()

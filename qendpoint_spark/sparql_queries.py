@@ -270,6 +270,33 @@ SPARQL_QUERIES = {
         + "SELECT DISTINCT ?ent WHERE { ?doc p:mentions ?ent } "
         "ORDER BY ?doc"
     ),
+    # aggregates over COMPUTED arguments (round 5): arithmetic inside
+    # AVG, a conditional SUM(IF(...)), COUNT(DISTINCT STR(...)) — the
+    # expression materializes as a pre-aggregation column
+    "sparql_agg_expr": _q(
+        _P
+        + "SELECT ?lang (AVG(?nc * 2) AS ?avg2) "
+        "(SUM(IF(?nc >= 500, 1, 0)) AS ?big) "
+        "(COUNT(DISTINCT STR(?doc)) AS ?docs) "
+        "WHERE { ?doc p:lang ?lang . ?doc p:nchars ?nc } GROUP BY ?lang"
+    ),
+    # OPTIONAL inside a constant GRAPH (round 5): the body compiles
+    # through the full group machinery on a graph-scoped engine — the
+    # gid filter pushes into the quad scan
+    "sparql_graph_optional": _qq(
+        _P
+        + "SELECT ?doc ?l WHERE { GRAPH "
+        "<http://example.org/graph/src3> "
+        "{ ?doc p:source ?src OPTIONAL { ?doc p:lang ?l } } }"
+    ),
+    # property path (alternation) under a graph VARIABLE (round 5):
+    # evaluated per named graph and unioned (bag semantics), ?g
+    # projected from each branch
+    "sparql_graph_path": _qq(
+        _P
+        + "SELECT ?g ?doc ?v WHERE { GRAPH ?g "
+        "{ ?doc (p:lang|p:source) ?v } }"
+    ),
 }
 
 _QUADS_CTE = """
@@ -471,5 +498,31 @@ LIMIT 5
     "sparql_distinct_indep_order": _PRE
     + f"""
 SELECT DISTINCT o AS ent FROM triples WHERE p = '{_MENTIONS}'
+""",
+    "sparql_agg_expr": _PRE
+    + f"""
+SELECT l.o AS lang,
+       AVG(CAST(regexp_extract(n.o, '^"([^"]*)"', 1) AS DOUBLE) * 2)
+         AS avg2,
+       CAST(SUM(CASE WHEN
+         CAST(regexp_extract(n.o, '^"([^"]*)"', 1) AS DOUBLE) >= 500
+         THEN 1 ELSE 0 END) AS DOUBLE) AS big,
+       CAST(COUNT(DISTINCT l.s) AS BIGINT) AS docs
+FROM triples l JOIN triples n ON l.s = n.s
+WHERE l.p = '{_LANG}' AND n.p = '{_NCHARS}'
+GROUP BY l.o
+""",
+    "sparql_graph_optional": _QUADS_CTE
+    + f"""
+SELECT s.s AS doc, l.o AS l
+FROM quads s LEFT JOIN quads l
+  ON s.s = l.s AND l.p = '{_LANG}'
+ AND l.g = 'http://example.org/graph/src3'
+WHERE s.p = '{_SOURCE}' AND s.g = 'http://example.org/graph/src3'
+""",
+    "sparql_graph_path": _QUADS_CTE
+    + f"""
+SELECT g, s AS doc, o AS v FROM quads
+WHERE p IN ('{_LANG}', '{_SOURCE}')
 """,
 }

@@ -881,3 +881,106 @@ def test_engine_conformance_mini_suite(chain_engine):
     for q, want in cases:
         got = _rows(e(q))
         assert got == sorted(want), f"query failed: {q}\n got {got}"
+
+
+# --------------------------------------------- round-5 GRAPH + agg-expr
+
+
+@pytest.fixture(scope="module")
+def rich_quad_engine(spark):
+    """Two named graphs with chains + labels: g1 holds a-n->b-n->c,
+    g2 holds a-n->x with labels — enough structure for paths, OPTIONAL
+    and nested groups scoped per graph."""
+    rows = [
+        ("a", "n", "b", "g1"),
+        ("b", "n", "c", "g1"),
+        ("a", "lab", "A", "g1"),
+        ("a", "n", "x", "g2"),
+        ("x", "lab", "X", "g2"),
+        ("a", "lab", "A2", "g2"),
+    ]
+    q = spark.createDataFrame(
+        rows, "s string, p string, o string, g string"
+    )
+    d = build_dictionary(q).cache()
+    encq = encode_triples(q, d).cache()
+    tri = encq.drop("g").dropDuplicates(["s", "p", "o"])
+    return SparqlEngine(tri, d, quads=encq)
+
+
+def test_graph_const_complex_bodies(rich_quad_engine):
+    e = rich_quad_engine
+    # property path scoped to one graph: g1's chain only
+    out = e.query("SELECT ?x ?y WHERE { GRAPH <g1> { ?x <n>+ ?y } }")
+    assert _rows(out) == [("a", "b"), ("a", "c"), ("b", "c")]
+    # OPTIONAL inside GRAPH: only g2's x has a label on an n-target
+    out = e.query(
+        "SELECT ?s ?l WHERE { GRAPH <g2> "
+        "{ ?s <n> ?o OPTIONAL { ?o <lab> ?l } } }"
+    )
+    assert _rows(out) == [("a", "X")]
+    # zero-length path ranges over the NAMED GRAPH's nodes, not the
+    # dataset's (g1 nodes: a,b,c,A — never x/X/A2)
+    out = e.query(
+        "SELECT ?x WHERE { GRAPH <g1> { ?x <n>* ?y } FILTER(?x = ?y) }"
+    )
+    assert _rows(out) == [("A",), ("a",), ("b",), ("c",)]
+
+
+def test_graph_var_complex_bodies(rich_quad_engine):
+    e = rich_quad_engine
+    # sequence path per graph: only g1 chains two n-steps
+    out = e.query(
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <n>/<n> ?y } }"
+    )
+    assert _rows(out) == [("g1", "a", "c")]
+    # nested UNION group per graph, graph var projected
+    out = e.query(
+        "SELECT ?g ?v WHERE { GRAPH ?g { { ?s <lab> ?v } UNION "
+        "{ ?s <n> ?v . ?v <lab> ?w } } }"
+    )
+    assert _rows(out) == [
+        ("g1", "A"), ("g2", "A2"), ("g2", "X"), ("g2", "x")
+    ]
+    # graph var from a complex body joins with outer patterns on gid
+    out = e.query(
+        "SELECT ?g WHERE { GRAPH ?g { ?x <n>+ <c> } }"
+    )
+    assert _rows(out) == [("g1",), ("g1",)]  # from a and from b
+
+
+def test_graph_var_enum_guard(rich_quad_engine):
+    e = rich_quad_engine
+    old = e.max_graph_enum
+    try:
+        e.max_graph_enum = 1
+        with pytest.raises(NotImplementedError, match="max_graph_enum"):
+            e.query("SELECT ?g WHERE { GRAPH ?g { ?x <n>+ ?y } }")
+    finally:
+        e.max_graph_enum = old
+
+
+def test_aggregate_expression_args(num_engine):
+    # SUM over a computed product; prices 9,10,100 costs 50,5,100
+    out = num_engine.query(
+        "SELECT (SUM(?p * ?c) AS ?t) WHERE { ?s <price> ?p . "
+        "?s <cost> ?c }"
+    )
+    assert _rows(out) == [(9 * 50 + 10 * 5 + 100 * 100,)]
+    # COUNT(DISTINCT expr): tags "x","y" -> distinct STR count 2
+    out = num_engine.query(
+        "SELECT (COUNT(DISTINCT STR(?o)) AS ?n) WHERE { ?s <tag> ?o }"
+    )
+    assert _rows(out) == [(2,)]
+    # AVG/MAX over arithmetic on a single var, grouped
+    out = num_engine.query(
+        "SELECT ?s (MAX(?p + 1) AS ?m) WHERE { ?s <price> ?p } "
+        "GROUP BY ?s ORDER BY ?s"
+    )
+    assert _rows(out) == [("a", 10.0), ("b", 11.0), ("c", 101.0)]
+    # conditional aggregation: SUM(IF(...)) — the classic pivot shape
+    out = num_engine.query(
+        "SELECT (SUM(IF(?p >= 10, 1, 0)) AS ?big) WHERE "
+        "{ ?s <price> ?p }"
+    )
+    assert _rows(out) == [(2.0,)]
