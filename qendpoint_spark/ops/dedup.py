@@ -231,31 +231,31 @@ def simhash_table(documents: DataFrame, bits: int | None = None) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", _hash8(F.col("tok")))
     )
-    votes = (
-        tok_counts.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        )
-        .withColumn(
-            # F.shiftright takes a literal int, not a column: go via expr
-            "vote",
-            F.expr("cnt * ((shiftright(h, cast(j AS int)) & 1) * 2 - 1)"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
+    # ONE aggregation with `bits` conditional sums — no per-bit row
+    # explosion. The earlier explode(sequence(0, bits-1)) multiplied
+    # the (doc, tok) rows by the fingerprint width and shuffled the
+    # product; once sized_simhash_bits self-sized past 16 the probe
+    # measured that going superlinear (BENCH/dedup_scale_probe_r5_640:
+    # 14.6x wall for 4x docs at bits=28). Column-wise sums keep the
+    # row count |doc, tok| at any width and stay in whole-stage
+    # codegen. Bit j of the fingerprint is sign(sum cnt*(2*bit_j-1)),
+    # i.e. set iff 2*sum(cnt*bit_j) > sum(cnt) — identical values to
+    # the row-wise formulation (the pinned bits=16 gate row hashes the
+    # same).
+    bit_sums = [
+        F.sum(F.expr(f"cnt * (shiftright(h, {j}) & 1)")).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    per_doc = tok_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("__total"), *bit_sums
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(cast(1 AS bigint), cast(j AS int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(
+            F.col(f"__b{j}") * 2 > F.col("__total"),
+            F.expr(f"shiftleft(cast(1 AS bigint), {j})"),
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def embedding_dup_pairs_lsh(
