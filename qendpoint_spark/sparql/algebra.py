@@ -70,6 +70,7 @@ from qendpoint_spark.sparql.parser import (
     PathPred,
     PathRepeat,
     PathSeq,
+    ProjExpr,
     Query,
     StrLit,
     SubSelect,
@@ -105,6 +106,43 @@ class _BFrame:
 
 def _is_true(bf: _BFrame) -> bool:
     return bool(bf.df.take(1))
+
+
+def _collect_expr_aggs(node, out: dict) -> None:
+    """Find Aggregate leaves inside a projection/HAVING expression and
+    assign each distinct one a synthetic output alias (value-equal
+    aggregates share a column — Aggregate is a frozen dataclass)."""
+    if isinstance(node, Aggregate):
+        out.setdefault(node, f"__pagg_{len(out)}")
+    elif isinstance(node, BinOp):
+        _collect_expr_aggs(node.left, out)
+        _collect_expr_aggs(node.right, out)
+    elif isinstance(node, UnaryOp):
+        _collect_expr_aggs(node.operand, out)
+    elif isinstance(node, FuncCall):
+        for a in node.args:
+            _collect_expr_aggs(a, out)
+
+
+def _replace_expr_aggs(node, mapping: dict):
+    """Rewrite Aggregate leaves to Vars referencing their aggregated
+    columns, so the outer expression compiles over the grouped frame."""
+    if isinstance(node, Aggregate):
+        return Var(mapping[node])
+    if isinstance(node, BinOp):
+        return BinOp(
+            node.op,
+            _replace_expr_aggs(node.left, mapping),
+            _replace_expr_aggs(node.right, mapping),
+        )
+    if isinstance(node, UnaryOp):
+        return UnaryOp(node.op, _replace_expr_aggs(node.operand, mapping))
+    if isinstance(node, FuncCall):
+        return FuncCall(
+            node.name,
+            tuple(_replace_expr_aggs(a, mapping) for a in node.args),
+        )
+    return node
 
 
 class SparqlEngine:
@@ -1302,9 +1340,7 @@ class SparqlEngine:
     # -- query forms -----------------------------------------------------
 
     def _select(self, bf: _BFrame, q: Query) -> DataFrame:
-        aggs = [p for p in q.projection if isinstance(p, Aggregate)]
-        if aggs or q.group_by:
-            bf = self._aggregate(bf, q)
+        bf = self._maybe_aggregate(bf, q)
         if q.projection:
             out_cols = [
                 p.name if isinstance(p, Var) else p.alias
@@ -1382,15 +1418,36 @@ class SparqlEngine:
             df = df.limit(q.limit)
         return df
 
+    def _maybe_aggregate(self, bf: _BFrame, q: Query) -> _BFrame:
+        """Aggregate when anything asks for it (explicit aggregates,
+        GROUP BY, or aggregates nested in projection expressions /
+        HAVING); otherwise compute pure projection expressions
+        ((?a - ?b AS ?d)) directly over the solution frame, BIND-like."""
+        aggs = [p for p in q.projection if isinstance(p, Aggregate)]
+        nested: dict = {}
+        for p in q.projection:
+            if isinstance(p, ProjExpr):
+                _collect_expr_aggs(p.expr, nested)
+        if q.having is not None:
+            _collect_expr_aggs(q.having, nested)
+        if aggs or q.group_by or nested:
+            return self._aggregate(bf, q)
+        for p in q.projection:
+            if isinstance(p, ProjExpr):
+                if p.alias in bf.kinds:
+                    raise ValueError(f"AS rebinds ?{p.alias}")
+                col, _ = self._expr(p.expr, bf)
+                bf.df = bf.df.withColumn(p.alias, col)
+                bf.kinds[p.alias] = "val"
+        return bf
+
     def _subframe(self, q: Query) -> _BFrame:
         """Nested `{ SELECT ... }`: evaluated like a top-level SELECT
         but kept in the binding representation (ids stay ids) so the
         outer group joins it like any other operand — Catalyst then
         plans the whole composed query as one tree."""
         bf = self._compile_group(q.where)
-        aggs = [p for p in q.projection if isinstance(p, Aggregate)]
-        if aggs or q.group_by:
-            bf = self._aggregate(bf, q)
+        bf = self._maybe_aggregate(bf, q)
         names = [
             p.name if isinstance(p, Var) else p.alias for p in q.projection
         ] or list(bf.kinds)
@@ -1404,6 +1461,20 @@ class SparqlEngine:
     def _aggregate(self, bf: _BFrame, q: Query) -> _BFrame:
         group_vars = [v.name for v in q.group_by]
         aggs = [p for p in q.projection if isinstance(p, Aggregate)]
+        # aggregates nested inside projection expressions
+        # ((SUM(?x)/COUNT(*) AS ?m)) or HAVING conditions get synthetic
+        # output columns; the outer expression then compiles over the
+        # grouped frame with those columns substituted in
+        nested: dict = {}
+        for p in q.projection:
+            if isinstance(p, ProjExpr):
+                _collect_expr_aggs(p.expr, nested)
+        if q.having is not None:
+            _collect_expr_aggs(q.having, nested)
+        aggs = aggs + [
+            Aggregate(a.func, a.arg, a.distinct, alias, a.sep)
+            for a, alias in nested.items()
+        ]
         # materialize every decode column BEFORE building agg
         # expressions: _lex joins mutate bf.df, and an expression built
         # against an earlier frame must not be used in a later one
@@ -1481,8 +1552,19 @@ class SparqlEngine:
             gdf, kinds, {v for v in bf.maybe_null if v in group_vars}
         )
         if q.having is not None:
-            col, _ = self._expr(q.having, out)
+            col, _ = self._expr(
+                _replace_expr_aggs(q.having, nested), out
+            )
             out.df = out.df.filter(col.cast("boolean"))
+        for p in q.projection:
+            if isinstance(p, ProjExpr):
+                if p.alias in out.kinds:
+                    raise ValueError(f"AS rebinds ?{p.alias}")
+                col, _ = self._expr(
+                    _replace_expr_aggs(p.expr, nested), out
+                )
+                out.df = out.df.withColumn(p.alias, col)
+                out.kinds[p.alias] = "val"
         return out
 
     def _construct(self, bf: _BFrame, q: Query) -> DataFrame:

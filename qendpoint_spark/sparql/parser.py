@@ -190,6 +190,16 @@ class Aggregate:
     sep: str = " "  # GROUP_CONCAT separator (SPARQL default)
 
 
+@dataclass(frozen=True)
+class ProjExpr:
+    """`(expression AS ?alias)` projection whose expression is not a
+    bare aggregate — may mix aggregates, variables (when grouped) and
+    functions: (SUM(?x)/COUNT(*) AS ?mean), (?a - ?b AS ?d)."""
+
+    expr: object
+    alias: str
+
+
 @dataclass
 class SubSelect:
     """A nested `{ SELECT ... }` group element."""
@@ -411,17 +421,15 @@ class _Parser:
 
     def parse_projection_expr(self):
         self.eat_op("(")
-        t = self.peek()
-        if t.kind == "KEYWORD" and t.text.upper() in _AGG_FUNCS:
-            agg = self.parse_aggregate()
-        else:
-            self.err("only aggregate projection expressions are supported")
+        e = self.parse_expr()
         self.eat_kw("AS")
         if self.peek().kind != "VAR":
             self.err("expected variable after AS")
         alias = self.next().text[1:]
         self.eat_op(")")
-        return Aggregate(agg.func, agg.arg, agg.distinct, alias, agg.sep)
+        if isinstance(e, Aggregate):
+            return Aggregate(e.func, e.arg, e.distinct, alias, e.sep)
+        return ProjExpr(e, alias)
 
     def parse_aggregate(self) -> Aggregate:
         func = self.next().text.upper()
@@ -973,6 +981,11 @@ class _Parser:
                 self.next()
                 self.eat_kw("EXISTS")
                 return ExistsExpr(self.parse_ggp(), True)
+            if kw in _AGG_FUNCS:
+                # aggregate as an expression leaf: projection
+                # expressions ((SUM(?x)/COUNT(*) AS ?m)) and HAVING
+                # conditions (HAVING(COUNT(?x) > 5))
+                return self.parse_aggregate()
             if kw in _EXPR_FUNCS:
                 self.next()
                 self.eat_op("(")

@@ -289,6 +289,15 @@ SPARQL_QUERIES = {
         "<http://example.org/graph/src3> "
         "{ ?doc p:source ?src OPTIONAL { ?doc p:lang ?l } } }"
     ),
+    # projection EXPRESSIONS over aggregates (round 5): a ratio of two
+    # aggregates in one (expr AS ?v), plus a direct (unaliased)
+    # aggregate inside HAVING
+    "sparql_proj_expr": _q(
+        _P
+        + "SELECT ?lang (SUM(?nc)/COUNT(*) AS ?mean_nc) "
+        "WHERE { ?doc p:lang ?lang . ?doc p:nchars ?nc } "
+        "GROUP BY ?lang HAVING(COUNT(*) > 10)"
+    ),
     # property path (alternation) under a graph VARIABLE (round 5):
     # evaluated per named graph and unioned (bag semantics), ?g
     # projected from each branch
@@ -511,6 +520,15 @@ SELECT l.o AS lang,
 FROM triples l JOIN triples n ON l.s = n.s
 WHERE l.p = '{_LANG}' AND n.p = '{_NCHARS}'
 GROUP BY l.o
+""",
+    "sparql_proj_expr": _PRE
+    + f"""
+SELECT l.o AS lang,
+       SUM(CAST(regexp_extract(n.o, '^"([^"]*)"', 1) AS DOUBLE))
+         / CAST(COUNT(*) AS DOUBLE) AS mean_nc
+FROM triples l JOIN triples n ON l.s = n.s
+WHERE l.p = '{_LANG}' AND n.p = '{_NCHARS}'
+GROUP BY l.o HAVING COUNT(*) > 10
 """,
     "sparql_graph_optional": _QUADS_CTE
     + f"""

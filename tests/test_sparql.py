@@ -861,8 +861,10 @@ def test_engine_conformance_mini_suite(chain_engine):
         ("SELECT ?s WHERE { ?s <n> ?o . FILTER(BOUND(?s) && !BOUND(?z)) }",
          [("e1",), ("e2",)]),
         # expression in ORDER BY (not a bare var)
+        # expression sort key ties (both subjects have STRLEN 2):
+        # break with a secondary bare-var key so LIMIT is deterministic
         ("SELECT ?a WHERE { ?a <m> ?v } ORDER BY DESC(STRLEN(STR(?a))) "
-         "LIMIT 1", [("d1",)]),
+         "?a LIMIT 1", [("d1",)]),
         # IN over IRIs + NOT IN exclusion
         ("SELECT ?s WHERE { ?s <n> ?o . FILTER(?s IN (<e1>, <zz>)) }",
          [("e1",)]),
@@ -984,3 +986,40 @@ def test_aggregate_expression_args(num_engine):
         "{ ?s <price> ?p }"
     )
     assert _rows(out) == [(2.0,)]
+
+
+def test_projection_expressions(num_engine):
+    e = num_engine
+    # ratio of two aggregates in one projection expression
+    out = e.query(
+        "SELECT (SUM(?p)/COUNT(*) AS ?mean) WHERE { ?s <price> ?p }"
+    )
+    assert _rows(out) == [((9 + 10 + 100) / 3,)]
+    # grouped: expression over two aggregates
+    out = e.query(
+        "SELECT ?s (SUM(?p) + SUM(?c) AS ?tot) WHERE "
+        "{ ?s <price> ?p . ?s <cost> ?c } GROUP BY ?s ORDER BY ?s"
+    )
+    assert _rows(out) == [("a", 59.0), ("b", 15.0), ("c", 200.0)]
+    # HAVING with a direct (unaliased) aggregate
+    out = e.query(
+        "SELECT ?s WHERE { ?s <price> ?p } GROUP BY ?s "
+        "HAVING(SUM(?p) >= 10) ORDER BY ?s"
+    )
+    assert _rows(out) == [("b",), ("c",)]
+    # pure projection expression without aggregation (BIND-like)
+    out = e.query(
+        "SELECT ?s (?p * 10 AS ?x) WHERE { ?s <price> ?p } ORDER BY ?s"
+    )
+    assert _rows(out) == [("a", 90.0), ("b", 100.0), ("c", 1000.0)]
+    # value-identical aggregates share one computed column
+    out = e.query(
+        "SELECT (SUM(?p) - SUM(?p) AS ?zero) WHERE { ?s <price> ?p }"
+    )
+    assert _rows(out) == [(0.0,)]
+    # function applied over an aggregate result
+    out = e.query(
+        'SELECT (CONCAT("n=", STR(COUNT(*))) AS ?label) '
+        "WHERE { ?s <price> ?p }"
+    )
+    assert _rows(out) == [("n=3",)]
