@@ -187,6 +187,54 @@ def q_kg_hdt_quads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_triples(enc2, d2).distinct()
 
 
+def q_kg_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF/XML interchange round-trip: extraction triples -> one
+    RDF/XML document (sources/rdfxml.py:serialize_rdfxml, namespace
+    split + attribute/text escaping) -> distributed re-parse
+    (read_rdfxml, per-file ElementTree over mapInPandas). A hash-match
+    vs the extraction oracle proves serializer and parser agree on
+    every construct the corpus exercises (IRIs, typed/lang literals,
+    XML escaping)."""
+    import os
+    import tempfile
+
+    from qendpoint_spark.sources.rdfxml import read_rdfxml, write_rdfxml
+
+    path = tempfile.mktemp(suffix=".rdf", prefix="qes_gate_rdfxml_")
+    write_rdfxml(_triples(spark, sf_dir), path)
+    try:
+        return (
+            read_rdfxml(spark, path, scoped_bnodes=False)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        os.unlink(path)
+
+
+def q_kg_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD interchange round-trip: extraction triples -> expanded
+    JSON-LD (sources/jsonld.py:serialize_jsonld) -> distributed
+    re-parse (read_jsonld) -> (s, p, o). Same proof shape as the
+    RDF/XML row for the second RIOT format family."""
+    import os
+    import tempfile
+
+    from qendpoint_spark.sources.jsonld import read_jsonld, write_jsonld
+
+    path = tempfile.mktemp(suffix=".jsonld", prefix="qes_gate_jsonld_")
+    write_jsonld(_triples(spark, sf_dir), path)
+    try:
+        return (
+            read_jsonld(spark, path, scoped_bnodes=False)
+            .select("s", "p", "o")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        os.unlink(path)
+
+
 def q_kg_shared_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _dict(spark, sf_dir)
@@ -650,6 +698,8 @@ QUERIES = {
     "kg_hdt_file_roundtrip": q_kg_hdt_file_roundtrip,
     "kg_hdt_msd_roundtrip": q_kg_hdt_msd_roundtrip,
     "kg_hdt_quads_roundtrip": q_kg_hdt_quads_roundtrip,
+    "kg_rdfxml_roundtrip": q_kg_rdfxml_roundtrip,
+    "kg_jsonld_roundtrip": q_kg_jsonld_roundtrip,
     "kg_shared_section": q_kg_shared_section,
     "kg_cat_identity": q_kg_cat_identity,
     "kg_cat_incremental": q_kg_cat_incremental,
@@ -999,6 +1049,8 @@ ORACLES = {
     "kg_decode_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_hdt_file_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_hdt_msd_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_rdfxml_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
+    "kg_jsonld_roundtrip": _KG_PRELUDE + "SELECT s, p, o FROM triples",
     "kg_hdt_quads_roundtrip": _QUADS_CTE
     + " SELECT DISTINCT s, p, o, g FROM quads",
     "kg_shared_section": _KG_PRELUDE

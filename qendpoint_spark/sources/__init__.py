@@ -12,6 +12,8 @@ from qendpoint_spark.sources.ntriples import (
     read_ntriples_dir,
     read_rdf_source,
 )
+from qendpoint_spark.sources.jsonld import parse_jsonld, read_jsonld
+from qendpoint_spark.sources.rdfxml import parse_rdfxml, read_rdfxml
 from qendpoint_spark.sources.turtle import (
     parse_trig,
     parse_turtle,
@@ -30,8 +32,12 @@ __all__ = [
     "read_ntriples_archive",
     "read_ntriples_dir",
     "read_rdf_source",
+    "parse_jsonld",
+    "parse_rdfxml",
     "parse_trig",
     "parse_turtle",
+    "read_jsonld",
+    "read_rdfxml",
     "read_trig",
     "read_turtle",
 ]

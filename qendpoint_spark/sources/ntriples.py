@@ -246,6 +246,10 @@ def guess_format(path: str) -> str:
         return "turtle"
     if p.endswith(".trig"):
         return "trig"
+    if p.endswith((".rdf", ".owl", ".rdfxml")):
+        return "rdfxml"
+    if p.endswith((".jsonld", ".json-ld")):
+        return "jsonld"
     if p.endswith(".zip") or p.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
         return "archive"
     if p.endswith(".parquet"):
@@ -282,6 +286,14 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
         from qendpoint_spark.sources.turtle import read_trig
 
         return read_trig(spark, path)
+    if kind == "rdfxml":
+        from qendpoint_spark.sources.rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path)
+    if kind == "jsonld":
+        from qendpoint_spark.sources.jsonld import read_jsonld
+
+        return read_jsonld(spark, path)
     if kind == "archive":
         return read_ntriples_archive(spark, path)
     if kind == "deltafile":
