@@ -145,6 +145,77 @@ def _replace_expr_aggs(node, mapping: dict):
     return node
 
 
+def _const_lex(x) -> str:
+    """Lexical form of a constant path endpoint (Term or NumLit)."""
+    t = x.as_term() if isinstance(x, NumLit) else x
+    return t.lex
+
+
+def _normalize_nps(node):
+    """Apply the SPARQL 1.1 §9.1 negated-property-set decomposition
+    NPS(P ∪ ^Q) = NPS(P) | ^NPS(Q) everywhere in a path tree, so every
+    remaining PathNeg is single-direction (one scan, one ID space)."""
+    if isinstance(node, PathNeg) and node.fwd and node.bwd:
+        return PathAlt((PathNeg(node.fwd, ()), PathInv(PathNeg(node.bwd, ()))))
+    if isinstance(node, PathInv):
+        return PathInv(_normalize_nps(node.inner))
+    if isinstance(node, PathSeq):
+        return PathSeq(tuple(_normalize_nps(s) for s in node.steps))
+    if isinstance(node, PathAlt):
+        return PathAlt(tuple(_normalize_nps(a) for a in node.alts))
+    if isinstance(node, PathRepeat):
+        return PathRepeat(
+            _normalize_nps(node.inner), node.min_hops, node.max_hops
+        )
+    return node
+
+
+def _path_roles(node):
+    """(src_role, dst_role) the ID-space compile would produce, or
+    None when some alternative binds conflicting spaces (e.g. p|^p) —
+    those cannot union as raw ids and must decompose (pattern-level
+    UNION) or decode (term-space closure). Mixed NPS must already be
+    normalized away (`_normalize_nps`)."""
+    if isinstance(node, PathPred):
+        return ("s", "o")
+    if isinstance(node, PathNeg):
+        return ("s", "o") if node.fwd else ("o", "s")
+    if isinstance(node, PathInv):
+        r = _path_roles(node.inner)
+        return None if r is None else (r[1], r[0])
+    if isinstance(node, PathSeq):
+        rs = [_path_roles(s) for s in node.steps]
+        if any(r is None for r in rs):
+            return None
+        return (rs[0][0], rs[-1][1])
+    if isinstance(node, PathAlt):
+        rs = [_path_roles(a) for a in node.alts]
+        if any(r is None for r in rs) or len(set(rs)) > 1:
+            return None
+        return rs[0]
+    if isinstance(node, PathRepeat):
+        return _path_roles(node.inner)
+    return None
+
+
+def _distribute_alts(node) -> list:
+    """Lift alternatives to the top of a path tree:
+    `(a|b)/c -> a/c | b/c`, `^(a|b) -> ^a|^b`. PathRepeat is atomic —
+    `(a|b)+` is NOT `a+|b+` (the closure interleaves branches), so
+    alternatives stay inside it and its conflicts resolve in term
+    space instead. Query paths are tiny, so the product is bounded."""
+    if isinstance(node, PathAlt):
+        return [b for a in node.alts for b in _distribute_alts(a)]
+    if isinstance(node, PathInv):
+        return [PathInv(b) for b in _distribute_alts(node.inner)]
+    if isinstance(node, PathSeq):
+        from itertools import product as _product
+
+        lists = [_distribute_alts(s) for s in node.steps]
+        return [PathSeq(tuple(c)) for c in _product(*lists)]
+    return [node]
+
+
 class SparqlEngine:
     """Execute SPARQL strings against one encoded dataset.
 
@@ -828,7 +899,68 @@ class SparqlEngine:
             )
         raise NotImplementedError(f"unsupported path node {node!r}")
 
+    def _edges_to_terms(
+        self, edges: DataFrame, src_role: str, dst_role: str
+    ) -> DataFrame:
+        """Decode an ID-space (src, dst) edge frame to lexical terms —
+        two equi-joins against the role maps. Only the term-space path
+        fallback pays this: the maps are dataset-sized, so the joins
+        are full sort-merge shuffles (∝ edges, never quadratic)."""
+        ms = self._role_map(src_role).select(
+            F.col("id").alias("__ei"), F.col("term").alias("__et")
+        )
+        edges = (
+            edges.join(ms, edges["src"] == ms["__ei"])
+            .select(F.col("__et").alias("src"), F.col("dst"))
+        )
+        md = self._role_map(dst_role).select(
+            F.col("id").alias("__ei"), F.col("term").alias("__et")
+        )
+        return (
+            edges.join(md, edges["dst"] == md["__ei"])
+            .select("src", F.col("__et").alias("dst"))
+        )
+
+    def _compile_path_terms(self, node) -> DataFrame:
+        """Compile a path whose alternatives bind conflicting ID
+        spaces to a (src, dst) edge frame of LEXICAL TERMS. Reached
+        only for closures over mixed-role edge sets — `(p|^p)+` et
+        al., the undirected-reachability idiom — which cannot
+        decompose into per-branch ID-space unions. Term strings are
+        globally unique (one dictionary), so seq joins and closures
+        need no shared-section clamp; the cost is the decode join per
+        leaf (see _edges_to_terms). RDF4J evaluates the same shape via
+        PathIteration over materialized Values, i.e. also term-level."""
+        if _path_roles(node) is not None:
+            return self._edges_to_terms(*self._compile_path(node))
+        if isinstance(node, PathAlt):
+            return path_alt(
+                *(self._compile_path_terms(a) for a in node.alts)
+            )
+        if isinstance(node, PathInv):
+            return path_inverse(self._compile_path_terms(node.inner))
+        if isinstance(node, PathSeq):
+            out = self._compile_path_terms(node.steps[0])
+            for step in node.steps[1:]:
+                out = path_seq(out, self._compile_path_terms(step))
+            return out
+        if isinstance(node, PathRepeat):
+            if node.min_hops != 1:
+                raise NotImplementedError(
+                    f"path repetition with min={node.min_hops} must be "
+                    "handled at the pattern level (see "
+                    "_compile_path_pattern)"
+                )
+            return transitive_closure(
+                self._compile_path_terms(node.inner),
+                max_hops=node.max_hops,
+            )
+        raise NotImplementedError(f"unsupported path node {node!r}")
+
     def _compile_path_pattern(self, tp: TriplePattern, bn: list) -> _BFrame:
+        norm = _normalize_nps(tp.p)
+        if norm is not tp.p:
+            tp = TriplePattern(tp.s, norm, tp.o)
         if isinstance(tp.p, PathRepeat) and tp.p.min_hops == 0:
             # `p*` = `p+` UNION zero-length paths. Per SPARQL 1.1 (and
             # RDF4J's ZeroLengthPathIteration) the zero-length path
@@ -889,7 +1021,41 @@ class SparqlEngine:
                     u = plus
             u.df = u.df.dropDuplicates(sorted(u.kinds) or None)
             return u
-        edges, src_role, dst_role = self._compile_path(tp.p)
+        if _path_roles(tp.p) is None:
+            # role conflict (e.g. p|^p, !(p|^q) after normalization):
+            # split alternatives into single-role branches, compile
+            # each as its own pattern, and let _union reconcile the
+            # endpoint ID spaces (decoding to terms only where they
+            # genuinely differ). A conflict locked inside a closure —
+            # (p|^p)+ — cannot decompose (the closure interleaves the
+            # branch edge sets), so that one branch evaluates in term
+            # space: exact, at decode-join cost, documented in
+            # _compile_path_terms.
+            branches = _distribute_alts(tp.p)
+            if len(branches) > 1:
+                parts = [
+                    self._compile_path_pattern(
+                        TriplePattern(tp.s, b, tp.o), bn
+                    )
+                    for b in branches
+                ]
+                if not parts[0].kinds:  # both endpoints constant: the
+                    # union is pure existence — any branch nonempty
+                    bn[0] += 1
+                    aux = f"__aux_e{bn[0]}"
+                    df = parts[0].df.select(F.lit(1).alias(aux))
+                    for p in parts[1:]:
+                        df = df.unionByName(
+                            p.df.select(F.lit(1).alias(aux))
+                        )
+                    return _BFrame(df.limit(1), {})
+                u = self._union(parts)
+                u.df = u.df.dropDuplicates(sorted(u.kinds))
+                return u
+            edges = self._compile_path_terms(branches[0])
+            src_role = dst_role = "term"
+        else:
+            edges, src_role, dst_role = self._compile_path(tp.p)
         kinds: dict = {}
         df = edges
 
@@ -900,14 +1066,19 @@ class SparqlEngine:
             elif isinstance(x, Term) and x.lex.startswith("_:"):
                 name = f"__bn_{x.lex[2:]}"
             else:
-                t = x.as_term() if isinstance(x, NumLit) else x
-                df = df.filter(F.col(col) == F.lit(self._const_id(role, t.lex)))
+                if role == "term":
+                    df = df.filter(F.col(col) == F.lit(_const_lex(x)))
+                else:
+                    df = df.filter(
+                        F.col(col)
+                        == F.lit(self._const_id(role, _const_lex(x)))
+                    )
                 df = df.drop(col)
                 return
             if name in kinds:  # same var on both endpoints
                 other = "src" if col == "dst" else "dst"
                 cond = F.col(other) == F.col(col)
-                if role != kinds[name]:
+                if role != kinds[name] and role != "term":
                     # cross-role equality holds only in the SH range
                     cond = cond & (F.col(col) <= F.lit(self.n_shared))
                     kinds[name] = "so"

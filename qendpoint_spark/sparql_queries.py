@@ -306,6 +306,24 @@ SPARQL_QUERIES = {
         + "SELECT ?g ?doc ?v WHERE { GRAPH ?g "
         "{ ?doc (p:lang|p:source) ?v } }"
     ),
+    # mixed-role path alternative (round 5): p|^p binds conflicting ID
+    # spaces per branch — decomposed into per-branch pattern compiles
+    # reconciled by _union (set semantics, like every path alt)
+    "sparql_path_mixed_alt": _q(
+        _P + "SELECT ?a ?b WHERE { ?a (p:mentions|^p:mentions) ?b }"
+    ),
+    # mixed NPS (round 5): !(p|^q) = !(p) | ^!(q) per SPARQL 1.1 §9.1
+    "sparql_nps_mixed": _q(
+        _P + "SELECT ?a ?b WHERE { ?a !(p:mentions|^p:provenance) ?b }"
+    ),
+    # closure over a mixed-role edge set (round 5): undirected
+    # reachability (p|^p)+ — evaluated exactly in term space (the
+    # branch edge sets interleave inside the closure, so no ID-space
+    # decomposition exists)
+    "sparql_path_undirected_closure": _q(
+        _P
+        + "SELECT ?a ?b WHERE { ?a (p:provenance|^p:provenance)+ ?b }"
+    ),
 }
 
 _QUADS_CTE = """
@@ -542,5 +560,36 @@ WHERE s.p = '{_SOURCE}' AND s.g = 'http://example.org/graph/src3'
     + f"""
 SELECT g, s AS doc, o AS v FROM quads
 WHERE p IN ('{_LANG}', '{_SOURCE}')
+""",
+    "sparql_path_mixed_alt": _PRE
+    + f"""
+SELECT a, b FROM (
+  SELECT s AS a, o AS b FROM triples WHERE p = '{_MENTIONS}'
+  UNION
+  SELECT o AS a, s AS b FROM triples WHERE p = '{_MENTIONS}'
+)
+""",
+    "sparql_nps_mixed": _PRE
+    + f"""
+SELECT a, b FROM (
+  SELECT s AS a, o AS b FROM triples WHERE p <> '{_MENTIONS}'
+  UNION
+  SELECT o AS a, s AS b FROM triples WHERE p <> '{_PROV}'
+)
+""",
+    "sparql_path_undirected_closure": "\nWITH RECURSIVE "
+    + _triples_cte("triples")
+    + f""",
+edges AS (
+  SELECT s AS src, o AS dst FROM triples WHERE p = '{_PROV}'
+  UNION
+  SELECT o AS src, s AS dst FROM triples WHERE p = '{_PROV}'
+),
+closure AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+)
+SELECT src AS a, dst AS b FROM closure
 """,
 }

@@ -718,9 +718,51 @@ def test_engine_negated_property_set(chain_engine):
     # excluding an unknown predicate excludes nothing
     out = chain_engine.query("SELECT ?a ?b WHERE { ?a !<zzz> ?b }")
     assert len(_rows(out)) == 6
-    # mixed forward/inverse members bind conflicting ID spaces: loud
-    with pytest.raises(NotImplementedError):
-        chain_engine.query("SELECT ?a WHERE { ?a !(<m>|^<t>) ?b }")
+    # mixed forward/inverse members: NPS(P ∪ ^Q) = NPS(P) | ^NPS(Q)
+    # (§9.1) — forward edges not labeled m, plus inverse edges not
+    # labeled t (i.e. reversed m- and n-edges)
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a !(<m>|^<t>) ?b }")
+    assert _rows(out) == [
+        ("e", "d1"), ("e", "d2"), ("e1", "e2"), ("e2", "e1"),
+        ("e2", "e3"), ("e3", "e1"), ("e3", "e2"), ("n", "e1"),
+    ]
+
+
+def test_engine_mixed_role_path_alternatives(chain_engine):
+    """`p|^p` binds conflicting ID spaces per branch: the pattern
+    decomposes into per-branch compiles reconciled by _union."""
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a (<m>|^<m>) ?b }")
+    assert _rows(out) == [
+        ("d1", "e"), ("d2", "e"), ("e", "d1"), ("e", "d2")
+    ]
+    # constant source, mixed alternative: e reaches its m-subjects
+    out = chain_engine.query("SELECT ?b WHERE { <e> (<m>|^<m>) ?b }")
+    assert _rows(out) == [("d1",), ("d2",)]
+    # distribution out of a sequence: (m|^m)/m — only ^m/m connects
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a (<m>|^<m>)/<m> ?b }")
+    assert _rows(out) == [("e", "e")]
+    # pure existence: both endpoints constant across mixed branches
+    assert chain_engine.query(
+        "ASK { <d1> (<m>|^<t>) <e> }"
+    ).collect()[0][0] is True
+    assert chain_engine.query(
+        "ASK { <d1> (^<m>|^<t>) <e> }"
+    ).collect()[0][0] is False
+
+
+def test_engine_mixed_role_closure_term_space(chain_engine):
+    """`(p|^p)+` — undirected reachability — closes over a mixed-role
+    edge set, which evaluates exactly in term space."""
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a (<n>|^<n>)+ ?b }")
+    ns = {"e1", "e2", "e3"}
+    assert set(_rows(out)) == {(x, y) for x in ns for y in ns}
+    # zero-or-more over a mixed set: component pairs + every graph node
+    out = chain_engine.query("SELECT ?a ?b WHERE { ?a (<m>|^<m>)* ?b }")
+    comp = {"d1", "d2", "e"}
+    nodes = {"d1", "d2", "e", "e1", "e2", "e3", "n"}
+    assert set(_rows(out)) == {
+        (x, y) for x in comp for y in comp
+    } | {(x, x) for x in nodes}
 
 
 def test_engine_values_undef(chain_engine):
