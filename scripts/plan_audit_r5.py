@@ -55,6 +55,21 @@ QUERIES = {
         SELECT ?lang WHERE {{ ?d <{P}lang> ?lang }}
         GROUP BY ?lang HAVING (COUNT(?d) > 3)
     """,
+    # mixed-role path alternative: per-branch pattern compiles, union
+    # reconciled by decoding conflicting endpoint spaces to terms —
+    # decode joins must stay hash/broadcast joins
+    "path_mixed_alt": f"""
+        SELECT ?a ?b WHERE {{ ?a (<{P}lang>|^<{P}lang>) ?b }} LIMIT 5
+    """,
+    # mixed negated property set (§9.1 decomposition)
+    "nps_mixed": f"""
+        SELECT ?a ?b WHERE {{ ?a !(<{P}lang>|^<{P}source>) ?b }} LIMIT 5
+    """,
+    # closure over a mixed-role edge set: exact term-space closure —
+    # string equi-joins, still no nested loop / python eval
+    "path_mixed_closure": f"""
+        SELECT ?a ?b WHERE {{ ?a (<{P}lang>|^<{P}lang>)+ ?b }} LIMIT 5
+    """,
 }
 
 BAD = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")

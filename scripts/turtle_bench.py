@@ -21,7 +21,7 @@ job; one giant .ttl is a single task regardless of cluster size —
 split web-crawl Turtle exports at the source or pre-convert to
 N-Triples/Parquet for bulk loads.
 
-Usage: python scripts/turtle_bench.py [sf_dir] [files]
+Usage: python scripts/turtle_bench.py [sf_dir] [files] [expand]
 """
 
 from __future__ import annotations
@@ -36,16 +36,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_corpus(sf_dir: str, out_dir: str, n_files: int) -> tuple[int, int]:
+def build_corpus(sf_dir: str, out_dir: str, n_files: int, expand: int = 1) -> tuple[int, int]:
     """Shard the documents table into n_files .ttl files (and one .nt
     mirror of the same statements). Returns (ttl_bytes, nt_bytes)."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     rows = duckdb.sql(
-        f"SELECT doc_id, lang, source, nchars FROM "
+        f"SELECT doc_id, lang, source, n_chars FROM "
         f"'{sf_dir}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
+    if expand > 1:  # deterministic replication so MB/s dominates
+        # Spark-session fixed overhead instead of the reverse
+        rows = [
+            (doc_id * expand + k, lang, source, n_chars)
+            for doc_id, lang, source, n_chars in rows
+            for k in range(expand)
+        ]
     ttl_total = nt_total = 0
     nt_lines: list[str] = []
     for shard in range(n_files):
@@ -53,12 +60,12 @@ def build_corpus(sf_dir: str, out_dir: str, n_files: int) -> tuple[int, int]:
             "@prefix p: <http://example.org/prop/> .",
             "@base <http://example.org/doc/> .",
         ]
-        for doc_id, lang, source, nchars in rows[shard::n_files]:
+        for doc_id, lang, source, n_chars in rows[shard::n_files]:
             subj = f"<{doc_id}>"
             lines.append(
                 f'{subj} p:lang "{lang}"@{lang} ; '
                 f'p:source "{source}" ; '
-                f'p:nchars "{nchars}"'
+                f'p:nchars "{n_chars}"'
                 "^^<http://www.w3.org/2001/XMLSchema#integer> ."
             )
             base = f"http://example.org/doc/{doc_id}"
@@ -69,7 +76,7 @@ def build_corpus(sf_dir: str, out_dir: str, n_files: int) -> tuple[int, int]:
                 f'<{base}> <http://example.org/prop/source> "{source}" .'
             )
             nt_lines.append(
-                f'<{base}> <http://example.org/prop/nchars> "{nchars}"'
+                f'<{base}> <http://example.org/prop/nchars> "{n_chars}"'
                 "^^<http://www.w3.org/2001/XMLSchema#integer> ."
             )
         data = ("\n".join(lines) + "\n").encode()
@@ -104,8 +111,9 @@ def time_read(cores: int, out_dir: str, fmt: str) -> tuple[float, int]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    expand = int(sys.argv[3]) if len(sys.argv) > 3 else 400
     out_dir = "/tmp/turtle_bench_corpus"
-    ttl_bytes, nt_bytes = build_corpus(sf_dir, out_dir, n_files)
+    ttl_bytes, nt_bytes = build_corpus(sf_dir, out_dir, n_files, expand)
     t8, n8 = time_read(8, out_dir, "ttl")
     t32, n32 = time_read(32, out_dir, "ttl")
     tnt, nnt = time_read(32, out_dir, "nt")
@@ -114,6 +122,7 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "files": n_files,
+        "expand": expand,
         "ttl_mb": round(mb, 1),
         "triples": n32,
         "ttl": {
