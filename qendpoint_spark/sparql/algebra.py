@@ -522,7 +522,9 @@ class SparqlEngine:
                 flush()
                 sub = self._compile_group(el.group)
                 if acc is None:
-                    raise NotImplementedError("MINUS before any pattern")
+                    # Minus(unit, B): the empty solution shares no
+                    # variable with any B row, so nothing is removed
+                    acc = self._unit_frame()
                 acc = self._join(acc, sub, "left_anti")
             elif isinstance(el, UnionGroup):
                 flush()
@@ -533,7 +535,7 @@ class SparqlEngine:
             elif isinstance(el, BindClause):
                 flush()
                 if acc is None:
-                    raise NotImplementedError("BIND before any pattern")
+                    acc = self._unit_frame()
                 if el.var.name in acc.kinds:
                     raise ValueError(f"BIND rebinds ?{el.var.name}")
                 col, _ = self._expr(el.expr, acc)
@@ -553,7 +555,11 @@ class SparqlEngine:
                 raise NotImplementedError(f"unsupported element {el!r}")
         flush()
         if acc is None:
-            raise NotImplementedError("empty group graph pattern")
+            if not values:
+                raise NotImplementedError("empty group graph pattern")
+            # VALUES-only group: inline data IS the solution sequence
+            # (spec 18.2.2.6 joins it with the unit pattern)
+            acc = self._unit_frame()
         for vc in values:
             acc = self._join(acc, self._values_frame(vc, acc), "inner")
         for expr in filters:
@@ -779,6 +785,16 @@ class SparqlEngine:
                 mn.add(v)
         return _BFrame(out, kinds, {v for v in mn if v in kinds})
 
+    def _unit_frame(self) -> _BFrame:
+        """The unit solution (one row, no bindings) — the identity of
+        Join, so a group may legally start with BIND / MINUS or hold
+        only VALUES (spec 18.2.2.6 translates them over the empty
+        pattern). The seed column is __aux so joins drop it."""
+        spark = self.spo.sparkSession
+        return _BFrame(
+            spark.range(1).select(F.lit(1).alias("__aux_unit")), {}
+        )
+
     def _values_frame(self, vc: ValuesClause, acc: _BFrame) -> _BFrame:
         """Inline data: resolve each term in the ID space its variable
         is bound in (known by now from the group's patterns)."""
@@ -786,7 +802,9 @@ class SparqlEngine:
         names = [v.name for v in vc.variables]
         kinds = {}
         for n in names:
-            k = acc.kinds.get(n, "s")
+            # a var no pattern binds stays term-level: its data need
+            # not exist in any ID space (e.g. VALUES-only groups)
+            k = acc.kinds.get(n, "term")
             if k in ("term", "val"):
                 k = "term"
             kinds[n] = "so" if k == "so" else k

@@ -750,6 +750,26 @@ def test_engine_mixed_role_path_alternatives(chain_engine):
     ).collect()[0][0] is False
 
 
+def test_engine_unit_solution_groups(chain_engine):
+    """Groups may start with BIND / MINUS or hold only VALUES: they
+    translate over the unit pattern (spec 18.2.2.6)."""
+    out = chain_engine.query("SELECT ?x WHERE { BIND(3 + 4 AS ?x) }")
+    assert _rows(out) == [(7,)]
+    # VALUES-only group: inline terms need not exist in any ID space
+    out = chain_engine.query('SELECT ?x WHERE { VALUES ?x { <e1> "zzz" } }')
+    assert _rows(out) == [('"zzz"',), ("e1",)]
+    # VALUES-only subgroup joined against a pattern group (term vs id)
+    out = chain_engine.query(
+        "SELECT ?a ?b WHERE { { VALUES ?a { <e1> <zz> } } { ?a <n> ?b } }"
+    )
+    assert _rows(out) == [("e1", "e2")]
+    # MINUS first: Minus(unit, B) removes nothing (no shared vars)
+    out = chain_engine.query(
+        'SELECT ?x WHERE { VALUES ?x { "q" } MINUS { ?a <n> ?b } }'
+    )
+    assert _rows(out) == [('"q"',)]
+
+
 def test_engine_mixed_role_closure_term_space(chain_engine):
     """`(p|^p)+` — undirected reachability — closes over a mixed-role
     edge set, which evaluates exactly in term space."""
