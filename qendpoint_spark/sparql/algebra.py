@@ -853,9 +853,11 @@ class SparqlEngine:
             # NOT IN folds into the scan filter — no join. Absent
             # predicates resolve to -1 which excludes nothing.
             if node.fwd and node.bwd:
-                raise NotImplementedError(
-                    "negated property sets mixing forward and inverse "
-                    "members (e.g. !(p|^q)) bind conflicting ID spaces"
+                # unreachable from queries: _compile_path_pattern
+                # normalizes mixed NPS away first (_normalize_nps)
+                raise AssertionError(
+                    "mixed NPS must be normalized before ID-space "
+                    "compile (see _normalize_nps)"
                 )
             if node.fwd:
                 ids = [self._const_id("p", iri) for iri in node.fwd]
@@ -893,9 +895,12 @@ class SparqlEngine:
             parts = [self._compile_path(a) for a in node.alts]
             roles = {(sr, dr) for _, sr, dr in parts}
             if len(roles) > 1:
-                raise NotImplementedError(
-                    "path alternatives binding different ID spaces "
-                    "(e.g. p|^p) are not supported in ID space"
+                # unreachable from queries: _compile_path_pattern
+                # decomposes mixed-role alternatives to pattern-level
+                # unions (or term space, inside closures) first
+                raise AssertionError(
+                    "mixed-role PathAlt must decompose before ID-space "
+                    "compile (see _compile_path_pattern)"
                 )
             sr, dr = parts[0][1], parts[0][2]
             return path_alt(*(df for df, _, _ in parts)), sr, dr
