@@ -38,7 +38,11 @@ SECTION_PREDICATE = "P"
 SECTION_GRAPH = "G"
 
 
-def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def build_dictionary(
+    triples_str: DataFrame,
+    num_partitions: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
     """triples_str(s,p,o string) -> dict_terms(term, section, sec_rank, id).
 
     `id` is the reference's *global* id: for SH/S it is the subject-space
@@ -65,12 +69,24 @@ def build_dictionary(triples_str: DataFrame, num_partitions: int | None = None) 
     2. one global range-partitioned rank (zip_with_rank) over the
        composite key (sec_key, term) — sections are contiguous in that
        order, so per-section ranks fall out by subtracting the section's
-       cumulative offset (4 numbers collected to the driver).
+       cumulative offset (the section totals ride on zip_with_rank's
+       per-partition stats pass — no extra job).
+
+    eager=False returns a LAZY frame over the persisted range
+    partitioning for single-action consumers (the pipeline's dict write);
+    call the attached `_zwr_release()` after that action (see
+    dictionary.rank module docstring).
     """
-    return rank_sections(role_sections(triples_str), num_partitions=num_partitions)
+    return rank_sections(
+        role_sections(triples_str), num_partitions=num_partitions, eager=eager
+    )
 
 
-def rank_sections(sectioned: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def rank_sections(
+    sectioned: DataFrame,
+    num_partitions: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
     """(term, sec_key) -> dict_terms(term, section, sec_rank, id): the
     ranking half of build_dictionary, factored out so dictionary MERGES
     (merge/kcat.py) can rank a section table derived from input
@@ -78,9 +94,18 @@ def rank_sections(sectioned: DataFrame, num_partitions: int | None = None) -> Da
     ∝ |terms| (KCatMerger merges sorted dictionary sections the same
     way, KCatMerger.java:49-511)."""
     ranked = zip_with_rank(
-        sectioned, ["sec_key", "term"], "grank", num_partitions=num_partitions
+        sectioned,
+        ["sec_key", "term"],
+        "grank",
+        num_partitions=num_partitions,
+        count_by="sec_key",
+        eager=eager,
     )
-    counts = {r.sec_key: r.n for r in ranked.groupBy("sec_key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # section totals come from zip_with_rank's own stats pass — the
+    # groupBy("sec_key").collect() second full scan this replaced cost a
+    # whole extra job over the ranked table per build (measured ~1-2 s
+    # at the sf0.1 bench).
+    counts = ranked._zwr_counts
     n_sh = counts.get(0, 0)
     n_s = counts.get(1, 0)
     n_o = counts.get(2, 0)
@@ -108,12 +133,14 @@ def rank_sections(sectioned: DataFrame, num_partitions: int | None = None) -> Da
     section = by_key(sec_name)
     sec_rank = (rank_col - by_key(sec_offset)).cast("long")
     gid = (sec_rank + by_key(id_base)).cast("long")
-    return ranked.select(
+    out = ranked.select(
         "term",
         section.alias("section"),
         sec_rank.alias("sec_rank"),
         gid.alias("id"),
     )
+    out._zwr_release = ranked._zwr_release
+    return out
 
 
 def role_sections(triples_str: DataFrame) -> DataFrame:

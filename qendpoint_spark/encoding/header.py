@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def build_header(triples_str: DataFrame, dict_terms: DataFrame, triples_id: DataFrame) -> DataFrame:
+def build_header(
+    triples_str: DataFrame,
+    dict_terms: DataFrame,
+    triples_id: DataFrame,
+    n_triples: int | None = None,
+) -> DataFrame:
     """One row: dataset statistics for planner stats + parity with the
     reference header fields.
 
@@ -28,6 +33,11 @@ def build_header(triples_str: DataFrame, dict_terms: DataFrame, triples_id: Data
     remaining pass over the encoded table is a map-side count(*).
     Precondition: triples_id is the unfiltered encode of the same
     triples_str the dictionary was built from.
+
+    n_triples: when the caller already holds the exact encoded-triple
+    count (the pipeline reads it from the committed table's parquet
+    footers), the count pass over triples_id is skipped — same value,
+    one less job.
     """
     raw = triples_str.agg(
         F.count(F.lit(1)).alias("n_raw_triples"),
@@ -47,7 +57,12 @@ def build_header(triples_str: DataFrame, dict_terms: DataFrame, triples_id: Data
             F.coalesce(F.col("G"), F.lit(0)).alias("n_graphs"),
         )
     )
-    enc = triples_id.agg(F.count(F.lit(1)).alias("n_triples"))
+    if n_triples is not None:
+        enc = triples_str.sparkSession.range(1).select(
+            F.lit(n_triples).cast("long").alias("n_triples")
+        )
+    else:
+        enc = triples_id.agg(F.count(F.lit(1)).alias("n_triples"))
     return (
         raw.crossJoin(sections)
         .crossJoin(enc)

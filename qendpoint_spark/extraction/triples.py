@@ -128,22 +128,33 @@ def _mention_triples(
     # shuffle moves short token strings instead of full assembled triple
     # rows. A global distinct() over the final triples would shuffle
     # ~5x the bytes for the same result (measured 2-3x slower e2e).
-    # eager localCheckpoint (not persist): materialized once for the two
-    # consumers below, plan is cut, and the blocks are released by the
-    # ContextCleaner when the frame is dropped — a bare .persist() here
-    # accumulated never-unpersisted blocks across repeated builds in one
-    # long-lived session.
-    toks = toks.dropDuplicates([key_col, "tok"]).localCheckpoint(eager=True)
+    # No materialization here: both consumers below sit on the SAME
+    # (key, tok) dedup exchange, so Spark plans a ReusedExchange for the
+    # labels branch — the scan+explode+shuffle runs once inside the one
+    # downstream write job. The eager localCheckpoint this replaced paid
+    # a full extra materialize (plan-construction side effect, ~4 s at
+    # the sf0.1 bench) plus a block-manager copy of every token pair.
+    toks = toks.dropDuplicates([key_col, "tok"])
     mentions = toks.select(
         subject_iri(F.col(key_col)).alias("s"),
         F.lit(P_MENTIONS).alias("p"),
         F.concat(F.lit(BASE + "ent/"), F.col("tok")).alias("o"),
     )
-    # distinct over tokens alone is a map-side-combined aggregate whose
-    # shuffle is bounded by the vocabulary size per partition — tiny.
+    # distinct over tokens of the deduped pairs is a map-side-combined
+    # aggregate whose shuffle is bounded by the per-partition vocabulary
+    # — tiny — and its subtree below the dedup exchange is identical to
+    # the mentions branch, which is what makes the exchange reusable.
+    # The count + always-true filter keeps Catalyst's
+    # RemoveRedundantAggregates from collapsing this into a distinct
+    # over the RAW token stream (which would re-run the scan+explode for
+    # this branch instead of reusing the dedup exchange — measured +3 s
+    # at the sf0.1 bench): the count's value depends on the deduped
+    # relation, so the inner aggregate must stay, and every group has
+    # >= 1 row by definition, so the filter drops nothing.
     labels = (
-        toks.select("tok")
-        .distinct()
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 1)
         .select(
             F.concat(F.lit(BASE + "ent/"), F.col("tok")).alias("s"),
             F.lit(P_LABEL).alias("p"),

@@ -167,7 +167,13 @@ def run_pipeline(
     fp1 = _fingerprint(fp0, "dict", str(res.rows))
     res = None if force else _resume(catalog, "dict_terms", fp1)
     if res is None:
-        dict_terms = build_dictionary(triples_str, num_partitions=num_partitions)
+        # eager=False: the parquet write below is the single consumer, so
+        # the rank's localCheckpoint (a full extra materialize+rescan of
+        # the term table) is skipped; the write streams straight off the
+        # persisted range partitioning, released right after.
+        dict_terms = build_dictionary(
+            triples_str, num_partitions=num_partitions, eager=False
+        )
         # MSD physical layout (MultipleSectionDictionary.java:51-60):
         # one partition directory per (section, datatype) — the object
         # sections split per literal datatype exactly as the reference's
@@ -180,6 +186,7 @@ def run_pipeline(
             force=force,
             partition_by=["section", "datatype"],
         )
+        dict_terms._zwr_release()
     report.stages.append(res)
     dict_terms = catalog.read("dict_terms")
 
@@ -210,6 +217,12 @@ def run_pipeline(
             enc = encode_triples(
                 triples_str, dict_terms, assume_distinct=True
             )
+        # spo_table's repartitionByRange runs a boundary-SAMPLING pass
+        # that fully recomputes its narrow child — without this persist
+        # the whole encode (string scan + two hash joins) executes TWICE
+        # per write (guide §2.4: don't compute things you throw away).
+        # The cache is ~3 longs/row, populated by the sample pass itself.
+        enc = enc.persist()
         res = catalog.write_stage(
             "triples_spo",
             spo_table(enc, num_partitions=num_partitions),
@@ -217,9 +230,13 @@ def run_pipeline(
             sort_cols=["s", "p", "o"],
             force=force,
         )
+        enc.unpersist()
     report.stages.append(res)
     report.n_triples = res.rows
-    triples_spo = catalog.read("triples_spo")
+    # one persist serves every downstream consumer (OPS re-sort's sample
+    # + shuffle passes, optional PSO, both stats aggregates, header
+    # count) — 5-6 parquet re-decodes otherwise; released before return
+    triples_spo = catalog.read("triples_spo").persist()
 
     # S4 OPS materialize ----------------------------------------------------
     fp3 = _fingerprint(fp2, "ops", str(res.rows))
@@ -257,7 +274,8 @@ def run_pipeline(
             (
                 "header",
                 lambda t: build_header(
-                    triples_str, catalog.read("dict_terms"), t
+                    triples_str, catalog.read("dict_terms"), t,
+                    n_triples=report.n_triples,
                 ),
             ),
         ):
@@ -266,6 +284,7 @@ def run_pipeline(
                 res = catalog.write_stage(name, fn(triples_spo), fp4, force=force)
             report.stages.append(res)
 
+    triples_spo.unpersist()
     report.wall_s = time.time() - t_start
     return report
 
@@ -367,7 +386,8 @@ def incremental_update_triples(
     )
     report.stages.append(res)
     report.n_triples = res.rows
-    triples_spo = catalog.read("triples_spo")
+    # same multi-consumer persist as run_pipeline (OPS/PSO/stats/header)
+    triples_spo = catalog.read("triples_spo").persist()
     report.stages.append(
         catalog.write_stage(
             "triples_ops",
@@ -407,11 +427,13 @@ def incremental_update_triples(
             catalog.write_stage(
                 "header",
                 build_header(
-                    merged_str, catalog.read("dict_terms"), triples_spo
+                    merged_str, catalog.read("dict_terms"), triples_spo,
+                    n_triples=report.n_triples,
                 ),
                 fp,
                 force=True,
             )
         )
+    triples_spo.unpersist()
     report.wall_s = time.time() - t_start
     return report

@@ -41,6 +41,36 @@ def test_zip_with_rank_contiguous(spark):
     assert first == min((r.term for r in df.collect()), key=lambda t: t.encode())
 
 
+def test_zip_with_rank_count_by_and_lazy(spark):
+    """r06 optimization internals: per-group counts piggyback on the
+    stats pass, and eager=False (lazy, persisted-range-backed) ranks
+    exactly as the eager path does."""
+    df = spark.range(0, 5_000).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("term"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+    )
+    eager = zip_with_rank(df, ["grp", "term"], "rid", num_partitions=8,
+                          count_by="grp")
+    assert eager._zwr_counts == {0: 1667, 1: 1667, 2: 1666}
+    lazy = zip_with_rank(df, ["grp", "term"], "rid", num_partitions=8,
+                         count_by="grp", eager=False)
+    assert lazy._zwr_counts == eager._zwr_counts
+    got_lazy = sorted(map(tuple, lazy.collect()))
+    lazy._zwr_release()
+    assert got_lazy == sorted(map(tuple, eager.collect()))
+    ids = sorted(t[-1] for t in got_lazy)
+    assert ids == list(range(1, 5_001))
+
+
+def test_build_dictionary_lazy_matches_eager(spark, documents):
+    triples = extract_triples_from_documents(documents)
+    eager = build_dictionary(triples, num_partitions=8)
+    lazy = build_dictionary(triples, num_partitions=8, eager=False)
+    got = sorted(map(tuple, lazy.collect()))
+    lazy._zwr_release()
+    assert got == sorted(map(tuple, eager.collect()))
+
+
 def test_extraction_matches_oracle(spark, documents):
     got = {
         (r.s, r.p, r.o)
