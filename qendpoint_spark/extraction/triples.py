@@ -94,21 +94,31 @@ def _mention_triples(
     """keyed(<key_col>, text) -> mentions + label triples.
 
     Tokenization semantics are identical on both paths (split on a
-    single space + length filter; duplicates collapse in the final
-    distinct). The default path is pure JVM (split/explode/filter stay
-    inside whole-stage codegen — UDFs are the slow path, ~2.5x in the
-    bench); `use_udf=True` routes through the Arrow-vectorized pandas
-    UDF, the shape real NER-style mention detection takes in the pages
-    pipeline.
+    single space + per-document distinct + length filter). The default
+    path is pure JVM (split/array_distinct/explode/filter stay inside
+    whole-stage codegen — UDFs are the slow path, ~2.5x in the bench);
+    `use_udf=True` routes through the Arrow-vectorized pandas UDF, the
+    shape real NER-style mention detection takes in the pages pipeline.
 
+    PRECONDITION (both callers document and guarantee it): key_col is
+    unique per input row. That is what makes per-document token dedup
+    equal to the global (key, tok) distinct — see the comment below.
     key_col may be a NARROW surrogate (the documents path passes the
-    long doc_id): the dedup shuffle then moves 8-byte keys instead of
-    25-byte subject IRIs (-18% shuffled bytes, ~15% faster at 800k
-    docs, measured) and `subject_iri` (a fn: key Column -> IRI Column)
-    assembles the subject AFTER the shuffle.
+    long doc_id) and `subject_iri` (a fn: key Column -> IRI Column)
+    assembles the subject IRI only in the final projection.
     """
     if subject_iri is None:
         subject_iri = lambda c: c  # noqa: E731 — key already IS the IRI
+    # Per-DOCUMENT dedup, zero shuffle (r06 optimization, guide §2.4):
+    # every copy of a (key, tok) pair comes from the same source row —
+    # explode is a narrow op — and key_col is unique by the callers'
+    # documented preconditions (unique doc_id; pages deduped to one row
+    # per url upstream). So distinct-within-the-token-array IS the
+    # global (key, tok) distinct, and the former
+    # dropDuplicates([key, tok]) exchange (a full shuffle of every
+    # token pair, ~2 s of the sf0.1 bench) is provably redundant. The
+    # UDF path already emits per-row-distinct tokens for the same
+    # reason.
     if use_udf:
         toks = keyed.withColumn(
             "tok", F.explode(mentions_udf(F.col("text")))
@@ -117,44 +127,28 @@ def _mention_triples(
         toks = (
             keyed.select(
                 key_col,
-                F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
-                    "tok"
-                ),
+                F.explode(
+                    F.array_distinct(
+                        F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                    )
+                ).alias("tok"),
             )
             .filter(F.length("tok") >= MIN_MENTION_LEN)
         )
-    # Dedup on the narrow (key, tok) pair — repeated tokens inside a
-    # document collapse map-side (they are already colocated), and the
-    # shuffle moves short token strings instead of full assembled triple
-    # rows. A global distinct() over the final triples would shuffle
-    # ~5x the bytes for the same result (measured 2-3x slower e2e).
-    # No materialization here: both consumers below sit on the SAME
-    # (key, tok) dedup exchange, so Spark plans a ReusedExchange for the
-    # labels branch — the scan+explode+shuffle runs once inside the one
-    # downstream write job. The eager localCheckpoint this replaced paid
-    # a full extra materialize (plan-construction side effect, ~4 s at
-    # the sf0.1 bench) plus a block-manager copy of every token pair.
-    toks = toks.dropDuplicates([key_col, "tok"])
     mentions = toks.select(
         subject_iri(F.col(key_col)).alias("s"),
         F.lit(P_MENTIONS).alias("p"),
         F.concat(F.lit(BASE + "ent/"), F.col("tok")).alias("o"),
     )
-    # distinct over tokens of the deduped pairs is a map-side-combined
-    # aggregate whose shuffle is bounded by the per-partition vocabulary
-    # — tiny — and its subtree below the dedup exchange is identical to
-    # the mentions branch, which is what makes the exchange reusable.
-    # The count + always-true filter keeps Catalyst's
-    # RemoveRedundantAggregates from collapsing this into a distinct
-    # over the RAW token stream (which would re-run the scan+explode for
-    # this branch instead of reusing the dedup exchange — measured +3 s
-    # at the sf0.1 bench): the count's value depends on the deduped
-    # relation, so the inner aggregate must stay, and every group has
-    # >= 1 row by definition, so the filter drops nothing.
+    # distinct over tokens alone is a map-side-combined aggregate whose
+    # shuffle is bounded by the per-partition vocabulary — tiny. This
+    # branch re-runs the scan+explode (both branches are narrow now);
+    # that costs far less than the materialize-or-shuffle designs it
+    # replaced (eager localCheckpoint: +4 s; shared dedup exchange:
+    # +2 s shuffle, both measured at the sf0.1 bench).
     labels = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 1)
+        toks.select("tok")
+        .distinct()
         .select(
             F.concat(F.lit(BASE + "ent/"), F.col("tok")).alias("s"),
             F.lit(P_LABEL).alias("p"),
