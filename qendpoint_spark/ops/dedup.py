@@ -165,12 +165,23 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, k: int = 3, num_hashes: int | None = None
+    documents: DataFrame, k: int = 3, num_hashes: int | None = None,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """LSH banding: band_hash = md5 of ROWS_PER_BAND signature values;
     candidate pairs collide in >= 1 band. Returns distinct
     (doc_a, doc_b). num_hashes self-sizes like minhash_signatures;
-    bands = H / ROWS_PER_BAND."""
+    bands = H / ROWS_PER_BAND.
+
+    bucket_cap bounds the per-task memory of the pair expansion: a
+    bucket with more than bucket_cap colliding docs (a degenerate
+    near-dup cluster — exact dedup upstream removes identical docs,
+    but a boilerplate corpus can still collapse millions of NEAR-
+    identical docs into one bucket) is routed through a shuffled
+    self-join instead of a single collect_list array on one task. The
+    emitted pair set is IDENTICAL either way — this is a physical
+    routing split, not a cap on results — and the count of such
+    buckets is logged (no silent caps)."""
     if num_hashes is None:
         num_hashes = sized_num_hashes(documents.count())
     sig = minhash_signatures(documents, k, num_hashes=num_hashes)
@@ -201,17 +212,59 @@ def minhash_lsh_pairs(
     # expand combinations.  Bucket sizes are duplicate-cluster sized by
     # LSH design; the quadratic-within-bucket emission below is exactly
     # the candidate-set semantics (same output as the old self-join).
-    buckets = (
+    # r06: buckets above bucket_cap no longer build one giant array on
+    # a single task — they take the join path below.
+    allb = allb.persist()
+    hot = (
         allb.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "band_hash")
+        .persist()
+    )
+    n_hot = hot.count()
+    if n_hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: %d bucket(s) over bucket_cap=%d routed "
+            "through the self-join path (pair set unchanged)",
+            n_hot, bucket_cap,
+        )
+    buckets = (
+        allb.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+        .groupBy("band", "band_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
+    cold_pairs = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
+    pairs = cold_pairs
+    if n_hot:
+        hot_rows = allb.join(F.broadcast(hot), ["band", "band_hash"],
+                             "left_semi")
+        hot_pairs = (
+            hot_rows.select("band", "band_hash",
+                            F.col("doc_id").alias("doc_a"))
+            .join(
+                hot_rows.select("band", "band_hash",
+                                F.col("doc_id").alias("doc_b")),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        pairs = cold_pairs.select("doc_a", "doc_b").unionByName(hot_pairs)
+    out = pairs.select("doc_a", "doc_b").distinct()
+    # materialize before releasing the bucket caches (callers run one
+    # action over the result; a second action would rebuild allb)
+    out = out.localCheckpoint(eager=True)
+    allb.unpersist()
+    hot.unpersist()
+    return out
 
 
 def simhash_table(documents: DataFrame, bits: int | None = None) -> DataFrame:
@@ -221,33 +274,36 @@ def simhash_table(documents: DataFrame, bits: int | None = None) -> DataFrame:
     gate row pins 16 (its corpus is tiny)."""
     if bits is None:
         bits = sized_simhash_bits(documents.count())
-    tok_counts = (
+    occ = (
         documents.select(
             "doc_id",
             F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
         )
         .filter(F.length("tok") > 0)
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", _hash8(F.col("tok")))
     )
     # ONE aggregation with `bits` conditional sums — no per-bit row
-    # explosion. The earlier explode(sequence(0, bits-1)) multiplied
-    # the (doc, tok) rows by the fingerprint width and shuffled the
-    # product; once sized_simhash_bits self-sized past 16 the probe
-    # measured that going superlinear (BENCH/dedup_scale_probe_r5_640:
-    # 14.6x wall for 4x docs at bits=28). Column-wise sums keep the
-    # row count |doc, tok| at any width and stay in whole-stage
-    # codegen. Bit j of the fingerprint is sign(sum cnt*(2*bit_j-1)),
-    # i.e. set iff 2*sum(cnt*bit_j) > sum(cnt) — identical values to
-    # the row-wise formulation (the pinned bits=16 gate row hashes the
+    # explosion and (r06) NO token-count pre-aggregation. The r5 shape
+    # first computed cnt per (doc, tok) via its own groupBy — a full
+    # string-keyed shuffle of every distinct (doc, tok) pair whose
+    # sort/agg buffers were the superlinear-wall suspect in the r5
+    # probe (BENCH/dedup_scale_probe_r5b: 2.37x linear at 640k docs).
+    # But sum(cnt * bit_j(h_tok)) over distinct pairs equals
+    # sum(bit_j(h(token))) over raw token OCCURRENCES, and sum(cnt) is
+    # just the occurrence count, so the counting pass is mathematically
+    # redundant: aggregate the occurrences directly. Occurrences of one
+    # doc are colocated (explode is narrow), so the partial aggregate
+    # collapses per doc map-side and the only exchange carries
+    # |docs| x (bits+1) longs — no string shuffle at all. Bit j of the
+    # fingerprint is set iff 2*sum_j > total — identical values to the
+    # r5 and r3 formulations (the pinned bits=16 gate row hashes the
     # same).
     bit_sums = [
-        F.sum(F.expr(f"cnt * (shiftright(h, {j}) & 1)")).alias(f"__b{j}")
+        F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"__b{j}")
         for j in range(bits)
     ]
-    per_doc = tok_counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("__total"), *bit_sums
+    per_doc = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__total"), *bit_sums
     )
     sim = F.lit(0).cast("long")
     for j in range(bits):

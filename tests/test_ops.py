@@ -194,3 +194,30 @@ def test_self_sized_minhash_and_simhash_run(spark):
     assert len([c for c in sig.columns if c.startswith("mh")]) == 16
     sh = simhash_table(docs)
     assert sh.count() == 30
+
+
+def test_lsh_hot_bucket_routing_same_pairs(spark):
+    """r06: buckets over bucket_cap route through the self-join path;
+    the emitted pair set must be identical to the collect_list path."""
+    texts = [f"shared boilerplate body common tokens {i % 3}" for i in range(30)]
+    texts.append("totally different words nothing in common here at all")
+    docs = _docs(spark, texts)
+    lo = {(r.doc_a, r.doc_b)
+          for r in minhash_lsh_pairs(docs, k=3, bucket_cap=4).collect()}
+    hi = {(r.doc_a, r.doc_b)
+          for r in minhash_lsh_pairs(docs, k=3, bucket_cap=10**9).collect()}
+    assert lo == hi and len(lo) > 0
+
+
+def test_lsh_degenerate_cluster_bounded(spark):
+    """A 10k-member identical-signature cluster (the VERDICT what's-
+    wrong #3 scenario) completes with bucket_cap=64 — no single-task
+    10k-element array — and yields exactly C(10000, 2) distinct
+    pairs."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical near dup boilerplate page body").alias("text"),
+    )
+    got = minhash_lsh_pairs(docs, k=3, bucket_cap=64).count()
+    assert got == n * (n - 1) // 2
