@@ -178,7 +178,13 @@ def run_pipeline(
         # one partition directory per (section, datatype) — the object
         # sections split per literal datatype exactly as the reference's
         # typed subsections, so a datatype- or section-scoped read is
-        # file-pruned (PartitionFilters, asserted in tests/test_plans.py)
+        # file-pruned (PartitionFilters, asserted in tests/test_plans.py).
+        # File-count note (measured r06): the rank's (sec_key, term)
+        # range partitioning already lands ~1 directory per task (the
+        # dominant S section has a single NULL-datatype dir), so the
+        # dynamic-partition write emits only ~76 files — an extra
+        # (section, datatype, term) re-range was tried and cost more
+        # than it saved.
         res = catalog.write_stage(
             "dict_terms",
             with_datatype(dict_terms),
