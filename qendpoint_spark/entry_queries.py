@@ -87,6 +87,18 @@ def _enc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 
+def _gate_tmp_path(suffix: str, prefix: str) -> str:
+    """Racy-free temp path for the round-trip gates: mkstemp creates
+    the file (the writers truncate it) instead of the deprecated
+    tempfile.mktemp name-then-open gap (ADVICE r6)."""
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=suffix, prefix=prefix)
+    os.close(fd)
+    return path
+
+
 def q_kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triples(spark, sf_dir)
 
@@ -131,7 +143,7 @@ def q_kg_hdt_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qendpoint_spark.hdt import hdt_to_dataframes, write_hdt
 
-    path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_")
+    path = _gate_tmp_path(".hdt", "qes_gate_")
     write_hdt(_dict(spark, sf_dir), _enc(spark, sf_dir), path)
     try:
         # read_hdt parses eagerly into driver lists, so the file can
@@ -154,7 +166,7 @@ def q_kg_hdt_msd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qendpoint_spark.hdt import hdt_to_dataframes, write_hdt_msd
 
-    path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_msd_")
+    path = _gate_tmp_path(".hdt", "qes_gate_msd_")
     write_hdt_msd(_dict(spark, sf_dir), _enc(spark, sf_dir), path)
     try:
         d2, enc2 = hdt_to_dataframes(spark, path)
@@ -176,7 +188,7 @@ def q_kg_hdt_quads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = quad_triples_str(_docs(spark, sf_dir)).dropDuplicates()
     qdict = build_dictionary(base).localCheckpoint(eager=True)
     encq = encode_triples(base, qdict, assume_distinct=True)
-    path = tempfile.mktemp(suffix=".hdt", prefix="qes_gate_hdtq_")
+    path = _gate_tmp_path(".hdt", "qes_gate_hdtq_")
     write_hdtq(qdict, encq, path)
     try:
         d2, enc2 = hdt_to_dataframes(spark, path)
@@ -200,7 +212,7 @@ def q_kg_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qendpoint_spark.sources.rdfxml import read_rdfxml, write_rdfxml
 
-    path = tempfile.mktemp(suffix=".rdf", prefix="qes_gate_rdfxml_")
+    path = _gate_tmp_path(".rdf", "qes_gate_rdfxml_")
     write_rdfxml(_triples(spark, sf_dir), path)
     try:
         return (
@@ -222,7 +234,7 @@ def q_kg_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from qendpoint_spark.sources.jsonld import read_jsonld, write_jsonld
 
-    path = tempfile.mktemp(suffix=".jsonld", prefix="qes_gate_jsonld_")
+    path = _gate_tmp_path(".jsonld", "qes_gate_jsonld_")
     write_jsonld(_triples(spark, sf_dir), path)
     try:
         return (

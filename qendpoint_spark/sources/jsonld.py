@@ -340,7 +340,17 @@ def serialize_jsonld(quads) -> str:
         if o.startswith('"'):
             raw, lang, dt = split_literal(o)
             if dt == XSD + "integer":
-                return {"@value": int(raw)}
+                # native JSON number only for canonical lexical forms:
+                # '007' / '+5' would be silently canonicalized by
+                # int(), changing term identity on round-trip, and
+                # ill-typed xsd:integer literals (legal in RDF) would
+                # raise — both fall back to the typed form (ADVICE r6)
+                try:
+                    if str(int(raw)) == raw:
+                        return {"@value": int(raw)}
+                except ValueError:
+                    pass
+                return {"@value": raw, "@type": dt}
             if lang:
                 return {"@value": raw, "@language": lang}
             if dt:

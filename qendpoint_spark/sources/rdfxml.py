@@ -222,6 +222,13 @@ class _RdfXmlParser:
                 raise SyntaxError("rdfxml: rdf:nodeID with element content")
             obj = self._named_bnode(node_id)
         elif children:
+            if datatype is not None:
+                # silently dropping the datatype would corrupt the
+                # literal (ADVICE r6): fail loudly per module contract
+                raise SyntaxError(
+                    f"rdfxml: property element <{pred}> carries "
+                    "rdf:datatype but contains element content"
+                )
             if len(children) != 1 or (el.text or "").strip():
                 raise SyntaxError(
                     f"rdfxml: property element <{pred}> must contain "
@@ -315,6 +322,27 @@ def split_literal(term: str) -> tuple[str, str | None, str | None]:
     return term[1:-1], None, None
 
 
+#: C0 controls XML 1.0 cannot represent at all (tab/newline/CR excluded)
+_XML10_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _esc_text(raw: str) -> str:
+    """Escape literal text for element content. xml.sax.saxutils.escape
+    leaves \\r unescaped, and XML end-of-line normalization would turn
+    it into \\n on re-parse, silently corrupting the literal (ADVICE
+    r6); \\r and \\t become numeric character references instead, and
+    XML-1.0-invalid control characters raise rather than emitting an
+    unparseable document."""
+    from xml.sax.saxutils import escape
+
+    if _XML10_INVALID.search(raw):
+        raise ValueError(
+            "rdfxml: literal contains a control character XML 1.0 "
+            "cannot represent; serialize as N-Triples instead"
+        )
+    return escape(raw).replace("\r", "&#13;").replace("\t", "&#9;")
+
+
 def serialize_rdfxml(triples) -> str:
     """Serialize (s, p, o) internal-form triples to an RDF/XML
     document (RDFWriterRIOT analog for the RDFXML format family).
@@ -351,7 +379,7 @@ def serialize_rdfxml(triples) -> str:
                 extra = f" xml:lang={quoteattr(lang)}"
             elif dt:
                 extra = f" rdf:datatype={quoteattr(dt)}"
-            prop = f"<{pq}{extra}>{escape(raw)}</{pq}>"
+            prop = f"<{pq}{extra}>{_esc_text(raw)}</{pq}>"
         elif o.startswith("_:"):
             prop = f"<{pq} rdf:nodeID={quoteattr(o[2:])}/>"
         else:

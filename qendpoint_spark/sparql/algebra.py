@@ -145,6 +145,27 @@ def _replace_expr_aggs(node, mapping: dict):
     return node
 
 
+def _ast_vars(node) -> set[str]:
+    """Every Var name mentioned anywhere under a parser AST node
+    (generic dataclass walk) — used to decide whether deferred VALUES
+    bindings are observed by a following MINUS/BIND."""
+    import dataclasses
+
+    out: set[str] = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Var):
+            out.add(n.name)
+        elif dataclasses.is_dataclass(n) and not isinstance(n, type):
+            stack.extend(
+                getattr(n, f.name) for f in dataclasses.fields(n)
+            )
+        elif isinstance(n, (list, tuple)):
+            stack.extend(n)
+    return out
+
+
 def _const_lex(x) -> str:
     """Lexical form of a constant path endpoint (Term or NumLit)."""
     t = x.as_term() if isinstance(x, NumLit) else x
@@ -454,6 +475,39 @@ class SparqlEngine:
         values: list[ValuesClause] = []
         bn = [0]
 
+        def seed_values(el_vars: set[str]) -> None:
+            """Spec 18.2.2.6 joins VALUES at its syntactic position;
+            the engine defers it to end-of-group so pattern-bound vars
+            resolve ID spaces first. That is sound only while no
+            intervening operator OBSERVES the VALUES bindings. MINUS
+            and BIND do: a VALUES-first group followed by either one
+            must see the inline data as the current solution sequence
+            (otherwise '{ VALUES ?a {<e1>} MINUS { ?a <n> ?b } }'
+            keeps e1 and '{ VALUES ?x {1 2} BIND(?x+1 AS ?y) }' yields
+            NULL — ADVICE r6 high, both silent wrong answers). So:
+            with no pattern bindings yet (acc is None), join the
+            deferred VALUES now (term-level vars; _join decodes an
+            ID-space operand to terms as needed). With patterns
+            already in acc AND shared variables, an early join could
+            term/ID-mismatch a LATER pattern binding — that case stays
+            loud rather than silently wrong."""
+            nonlocal acc
+            if not values:
+                return
+            vvars = {v.name for vc in values for v in vc.variables}
+            if acc is not None:
+                if vvars & el_vars:
+                    raise NotImplementedError(
+                        "VALUES sharing variables with a following "
+                        "MINUS/BIND in a group that also contains "
+                        "patterns; rewrite with a subquery"
+                    )
+                return
+            acc = self._unit_frame()
+            for vc in values:
+                acc = self._join(acc, self._values_frame(vc, acc), "inner")
+            values.clear()
+
         def conv(x, role: str):
             """Pattern position -> scan_bgp element (var name or id).
             A blank node in the query is a non-distinguished variable
@@ -520,6 +574,7 @@ class SparqlEngine:
                 acc = sub if acc is None else self._join(acc, sub, "left")
             elif isinstance(el, MinusGroup):
                 flush()
+                seed_values(_ast_vars(el.group))
                 sub = self._compile_group(el.group)
                 if acc is None:
                     # Minus(unit, B): the empty solution shares no
@@ -534,6 +589,7 @@ class SparqlEngine:
                 acc = sub if acc is None else self._join(acc, sub, "inner")
             elif isinstance(el, BindClause):
                 flush()
+                seed_values(_ast_vars(el.expr))
                 if acc is None:
                     acc = self._unit_frame()
                 if el.var.name in acc.kinds:

@@ -201,3 +201,48 @@ def test_read_rdfxml_jsonld_spark(spark, tmp_path):
     got = {tuple(r) for r in quads.collect()}
     assert ("http://ex/s", "http://ex/p", "http://ex/o", None) in got
     assert ("http://ex/s2", "http://ex/p2", '"lit"', "http://ex/g") in got
+
+
+def test_rdfxml_datatype_with_children_is_loud():
+    """ADVICE r6: rdf:datatype on a property element with element
+    content must raise, not silently drop the datatype."""
+    xml = (
+        '<?xml version="1.0"?>'
+        f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e/">'
+        '<rdf:Description rdf:about="http://e/s">'
+        f'<ex:p rdf:datatype="{XSD}integer">'
+        '<rdf:Description rdf:about="http://e/o"/></ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    with pytest.raises(SyntaxError):
+        parse_rdfxml(xml)
+
+
+def test_rdfxml_serialize_cr_tab_roundtrip_and_invalid_control():
+    """ADVICE r6: \\r must survive the XML round-trip (EOL
+    normalization would silently turn it into \\n) and XML-1.0-invalid
+    control characters must raise instead of emitting garbage."""
+    from qendpoint_spark.sources.rdfxml import serialize_rdfxml
+
+    tri = [("http://e/s", "http://e/p", '"a\rb\tc"')]
+    doc = serialize_rdfxml(tri)
+    assert set(parse_rdfxml(doc)) == set(tri)
+    with pytest.raises(ValueError):
+        serialize_rdfxml([("http://e/s", "http://e/p", '"a\x01b"')])
+
+
+def test_jsonld_integer_noncanonical_lexical_roundtrip():
+    """ADVICE r6: '007' / '+5' / ill-typed xsd:integer literals keep
+    their lexical form through serialize_jsonld (typed-form fallback),
+    canonical forms stay native numbers."""
+    from qendpoint_spark.sources.jsonld import serialize_jsonld
+
+    quads = [
+        ("http://e/s", "http://e/p", f'"007"^^<{XSD}integer>', None),
+        ("http://e/s", "http://e/p", f'"+5"^^<{XSD}integer>', None),
+        ("http://e/s", "http://e/p", f'"zz"^^<{XSD}integer>', None),
+        ("http://e/s", "http://e/p", f'"42"^^<{XSD}integer>', None),
+    ]
+    doc = serialize_jsonld(quads)
+    got = set(parse_jsonld(doc))
+    assert got == set(quads)

@@ -1085,3 +1085,38 @@ def test_projection_expressions(num_engine):
         "WHERE { ?s <price> ?p }"
     )
     assert _rows(out) == [("n=3",)]
+
+
+def test_values_first_minus_removes_matches(spark, mini):
+    """ADVICE r6 high: VALUES is joined at its syntactic position when
+    a following MINUS observes its bindings (spec 18.2.2.6)."""
+    tri, d, enc = mini
+    eng = SparqlEngine(enc, d)
+    # A matches ?a <p> ?b, so MINUS must remove it; S1 matches q... use
+    # a predicate only A has as subject via p: subjects(p) = {A, S1}.
+    gone = eng.query("SELECT ?a WHERE { VALUES ?a { <A> } MINUS { ?a <p> ?b } }")
+    assert gone.collect() == []
+    # O1 is never a subject of <p> -> survives
+    kept = eng.query("SELECT ?a WHERE { VALUES ?a { <O1> } MINUS { ?a <p> ?b } }")
+    assert [tuple(r) for r in kept.collect()] == [("O1",)]
+
+
+def test_values_first_bind_sees_bindings(spark, mini):
+    tri, d, enc = mini
+    eng = SparqlEngine(enc, d)
+    out = eng.query(
+        "SELECT ?y WHERE { VALUES ?x { 1 2 } BIND(?x + 1 AS ?y) }"
+    )
+    assert sorted(float(r[0]) for r in out.collect()) == [2.0, 3.0]
+
+
+def test_values_shared_with_bind_after_patterns_is_loud(spark, mini):
+    import pytest as _pytest
+
+    tri, d, enc = mini
+    eng = SparqlEngine(enc, d)
+    with _pytest.raises(NotImplementedError):
+        eng.query(
+            "SELECT ?y WHERE { ?s <p> ?o VALUES ?x { 1 } "
+            "BIND(?x + 1 AS ?y) }"
+        ).collect()
