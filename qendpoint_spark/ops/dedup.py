@@ -215,55 +215,59 @@ def minhash_lsh_pairs(
     # r06: buckets above bucket_cap no longer build one giant array on
     # a single task — they take the join path below.
     allb = allb.persist()
-    hot = (
-        allb.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > bucket_cap)
-        .select("band", "band_hash")
-        .persist()
-    )
-    n_hot = hot.count()
-    if n_hot:
-        import logging
+    hot = None
+    try:
+        hot = (
+            allb.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "band_hash")
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
 
-        logging.getLogger(__name__).warning(
-            "minhash_lsh_pairs: %d bucket(s) over bucket_cap=%d routed "
-            "through the self-join path (pair set unchanged)",
-            n_hot, bucket_cap,
-        )
-    buckets = (
-        allb.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
-        .groupBy("band", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cold_pairs = (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
-    pairs = cold_pairs
-    if n_hot:
-        hot_rows = allb.join(F.broadcast(hot), ["band", "band_hash"],
-                             "left_semi")
-        hot_pairs = (
-            hot_rows.select("band", "band_hash",
-                            F.col("doc_id").alias("doc_a"))
-            .join(
-                hot_rows.select("band", "band_hash",
-                                F.col("doc_id").alias("doc_b")),
-                ["band", "band_hash"],
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d bucket(s) over bucket_cap=%d routed "
+                "through the self-join path (pair set unchanged)",
+                n_hot, bucket_cap,
             )
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+        buckets = (
+            allb.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+            .groupBy("band", "band_hash")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
         )
-        pairs = cold_pairs.select("doc_a", "doc_b").unionByName(hot_pairs)
-    out = pairs.select("doc_a", "doc_b").distinct()
-    # materialize before releasing the bucket caches (callers run one
-    # action over the result; a second action would rebuild allb)
-    out = out.localCheckpoint(eager=True)
-    allb.unpersist()
-    hot.unpersist()
+        cold_pairs = (
+            buckets.select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+        pairs = cold_pairs
+        if n_hot:
+            hot_rows = allb.join(F.broadcast(hot), ["band", "band_hash"],
+                                 "left_semi")
+            hot_pairs = (
+                hot_rows.select("band", "band_hash",
+                                F.col("doc_id").alias("doc_a"))
+                .join(
+                    hot_rows.select("band", "band_hash",
+                                    F.col("doc_id").alias("doc_b")),
+                    ["band", "band_hash"],
+                )
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+            )
+            pairs = cold_pairs.select("doc_a", "doc_b").unionByName(hot_pairs)
+        out = pairs.select("doc_a", "doc_b").distinct()
+        # materialize before releasing the bucket caches (callers run one
+        # action over the result; a second action would rebuild allb)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        allb.unpersist()
+        if hot is not None:
+            hot.unpersist()
     return out
 
 

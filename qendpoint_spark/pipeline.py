@@ -185,14 +185,18 @@ def run_pipeline(
         # dynamic-partition write emits only ~76 files — an extra
         # (section, datatype, term) re-range was tried and cost more
         # than it saved.
-        res = catalog.write_stage(
-            "dict_terms",
-            with_datatype(dict_terms),
-            fp1,
-            force=force,
-            partition_by=["section", "datatype"],
-        )
-        dict_terms._zwr_release()
+        try:
+            res = catalog.write_stage(
+                "dict_terms",
+                with_datatype(dict_terms),
+                fp1,
+                force=force,
+                partition_by=["section", "datatype"],
+            )
+        finally:
+            # release the rank's cached range partitioning even on a
+            # failed write — long-lived sessions must not leak blocks
+            dict_terms._zwr_release()
     report.stages.append(res)
     dict_terms = catalog.read("dict_terms")
 
@@ -229,68 +233,73 @@ def run_pipeline(
         # per write (guide §2.4: don't compute things you throw away).
         # The cache is ~3 longs/row, populated by the sample pass itself.
         enc = enc.persist()
-        res = catalog.write_stage(
-            "triples_spo",
-            spo_table(enc, num_partitions=num_partitions),
-            fp2,
-            sort_cols=["s", "p", "o"],
-            force=force,
-        )
-        enc.unpersist()
+        try:
+            res = catalog.write_stage(
+                "triples_spo",
+                spo_table(enc, num_partitions=num_partitions),
+                fp2,
+                sort_cols=["s", "p", "o"],
+                force=force,
+            )
+        finally:
+            enc.unpersist()
     report.stages.append(res)
     report.n_triples = res.rows
     # one persist serves every downstream consumer (OPS re-sort's sample
     # + shuffle passes, optional PSO, both stats aggregates, header
     # count) — 5-6 parquet re-decodes otherwise; released before return
     triples_spo = catalog.read("triples_spo").persist()
+    try:
 
-    # S4 OPS materialize ----------------------------------------------------
-    fp3 = _fingerprint(fp2, "ops", str(res.rows))
-    res = None if force else _resume(catalog, "triples_ops", fp3)
-    if res is None:
-        res = catalog.write_stage(
-            "triples_ops",
-            ops_table(triples_spo, num_partitions=num_partitions),
-            fp3,
-            sort_cols=["o", "p", "s"],
-            force=force,
-        )
-    report.stages.append(res)
-
-    # S4b optional PSO materialize (?P? / ?PS access path) -------------------
-    if with_pso:
-        fp3b = _fingerprint(fp2, "pso", str(report.n_triples))
-        res = None if force else _resume(catalog, "triples_pso", fp3b)
+        # S4 OPS materialize ----------------------------------------------------
+        fp3 = _fingerprint(fp2, "ops", str(res.rows))
+        res = None if force else _resume(catalog, "triples_ops", fp3)
         if res is None:
             res = catalog.write_stage(
-                "triples_pso",
-                pso_table(triples_spo, num_partitions=num_partitions),
-                fp3b,
-                sort_cols=["p", "s", "o"],
+                "triples_ops",
+                ops_table(triples_spo, num_partitions=num_partitions),
+                fp3,
+                sort_cols=["o", "p", "s"],
                 force=force,
             )
         report.stages.append(res)
 
-    # S5 stats + header ----------------------------------------------------
-    if with_stats:
-        fp4 = _fingerprint(fp3, "stats")
-        for name, fn in (
-            ("predicate_index", predicate_index),
-            ("object_index", object_index),
-            (
-                "header",
-                lambda t: build_header(
-                    triples_str, catalog.read("dict_terms"), t,
-                    n_triples=report.n_triples,
-                ),
-            ),
-        ):
-            res = None if force else _resume(catalog, name, fp4)
+        # S4b optional PSO materialize (?P? / ?PS access path) -------------------
+        if with_pso:
+            fp3b = _fingerprint(fp2, "pso", str(report.n_triples))
+            res = None if force else _resume(catalog, "triples_pso", fp3b)
             if res is None:
-                res = catalog.write_stage(name, fn(triples_spo), fp4, force=force)
+                res = catalog.write_stage(
+                    "triples_pso",
+                    pso_table(triples_spo, num_partitions=num_partitions),
+                    fp3b,
+                    sort_cols=["p", "s", "o"],
+                    force=force,
+                )
             report.stages.append(res)
 
-    triples_spo.unpersist()
+        # S5 stats + header ----------------------------------------------------
+        if with_stats:
+            fp4 = _fingerprint(fp3, "stats")
+            for name, fn in (
+                ("predicate_index", predicate_index),
+                ("object_index", object_index),
+                (
+                    "header",
+                    lambda t: build_header(
+                        triples_str, catalog.read("dict_terms"), t,
+                        n_triples=report.n_triples,
+                    ),
+                ),
+            ):
+                res = None if force else _resume(catalog, name, fp4)
+                if res is None:
+                    res = catalog.write_stage(name, fn(triples_spo), fp4, force=force)
+                report.stages.append(res)
+
+
+    finally:
+        triples_spo.unpersist()
     report.wall_s = time.time() - t_start
     return report
 
